@@ -1,0 +1,404 @@
+"""Public fused-attention API: dispatch, padding, layouts, autograd.
+
+This is the TPU-native analogue of the reference's host stack:
+
+  * tile-size policy — FlashAttn.py:56-67 (Br=64/Bc=128, D>384 → Br=32) →
+    :class:`BlockSizes` + :func:`choose_block_sizes` (native planner in
+    csrc/planner.cpp, Python fallback here);
+  * padding/slicing — forward_fp16's pad prologue / slice epilogue
+    (kernel_fp16.cu:761-796, 865-875) → :func:`_pad_qkv` / output slicing,
+    done under jit so XLA fuses pads into the surrounding graph;
+  * dtype dispatch — host.cpp:30-45 (fp16 | bf16 | cast→bf16) →
+    :func:`_dispatch_dtype` (bf16 | f32 native; fp16 and others cast to bf16,
+    matching host.cpp:41-44's cast-to-bf16 fallback);
+  * autograd — FlashAttn.py:45-92's ``torch.autograd.Function`` →
+    ``jax.custom_vjp`` saving (q, k, v, bias, O, L) residuals;
+  * layouts — the reference's ``permute_NH`` stride swap
+    (kernel_fp16.cu:327-335) → layout-aware transposition at trace time
+    ("BHND" and "BNHD" both accepted; see also models/ which keep BNHD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.ops import flash_bwd, flash_fwd
+
+NUM_LANES = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Kernel tile sizes (the Br/Bc policy surface, FlashAttn.py:56-67)."""
+
+    block_q: int = 256
+    block_k: int = 256
+    block_q_dkv: int = 128
+    block_k_dkv: int = 256
+    block_q_dq: int = 256
+    block_k_dq: int = 128
+
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            val = getattr(self, f.name)
+            if val % NUM_LANES != 0:
+                raise ValueError(f"{f.name}={val} must be a multiple of {NUM_LANES}")
+
+
+def choose_block_sizes(nq: int, nk: int, d: int, dtype) -> BlockSizes:
+    """Default tile policy (Python mirror of the native planner).
+
+    Rationale: block_q/block_k ≥ 256 keeps the MXU pipeline deep; shrink for
+    short sequences so tiny inputs do not pad to 2× their size; cap the
+    scores-tile VMEM when D is large (the reference's D>384 → Br=32 rule,
+    FlashAttn.py:66-67, translated to VMEM terms).
+    """
+    try:
+        from flashattn_tpu.utils import native
+
+        plan = native.plan(nq, nk, d, jnp.dtype(dtype).itemsize)
+        if plan is not None:
+            return BlockSizes(*plan)
+    except Exception:
+        pass
+    return _python_block_policy(nq, nk, d, jnp.dtype(dtype).itemsize)
+
+
+def _python_block_policy(nq: int, nk: int, d: int, itemsize: int) -> BlockSizes:
+    def fit(n, pref):
+        return max(NUM_LANES, min(pref, _round_up(n, NUM_LANES)))
+
+    big_d = d > 256
+    bq = fit(nq, 128 if big_d else 256)
+    bk = fit(nk, 256 if big_d else 512)
+    return BlockSizes(
+        block_q=bq, block_k=bk,
+        block_q_dkv=fit(nq, 128), block_k_dkv=fit(nk, 256),
+        block_q_dq=fit(nq, 256), block_k_dq=fit(nk, 128),
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dispatch_dtype(dtype) -> jnp.dtype:
+    """Kernel compute dtype per input dtype (host.cpp:30-45 policy)."""
+    dtype = jnp.dtype(dtype)
+    if dtype in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)):
+        return dtype
+    # fp16 and anything else: MXU is bf16/f32-native; cast like host.cpp:41-44.
+    return jnp.dtype(jnp.bfloat16)
+
+
+def _pad_axis(x, axis, target):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _to_bhnd(x, layout):
+    if x is None:
+        return None
+    if layout == "BHND":
+        return x
+    if layout == "BNHD":
+        return jnp.swapaxes(x, 1, 2)
+    raise ValueError(f"unknown layout {layout!r} (expected 'BHND' or 'BNHD')")
+
+
+def _from_bhnd(x, layout):
+    return x if layout == "BHND" else jnp.swapaxes(x, 1, 2)
+
+
+# ─────────────────────────── custom_vjp core ────────────────────────────────
+# Differentiable in (q, k, v, bias); config is static. Operates in canonical
+# [B,H,N,D] on the *original* (unpadded) shapes; padding happens inside so the
+# cotangents come back at original shapes automatically.
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+)
+def _flash_core(q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len,
+                interpret):
+    o, _ = _flash_core_fwd_impl(
+        q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
+        return_lse=False,
+    )
+    return o
+
+
+def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
+                         kv_valid_len, interpret, *, return_lse):
+    B, Hq, Nq, D = q.shape
+    Hkv, Nk = k.shape[1], k.shape[2]
+    bq, bk = blocks.block_q, blocks.block_k
+    nqp, nkp = _round_up(Nq, bq), _round_up(Nk, bk)
+    dp = _round_up(D, NUM_LANES)
+
+    qp = _pad_axis(_pad_axis(q, 2, nqp), 3, dp)
+    kp = _pad_axis(_pad_axis(k, 2, nkp), 3, dp)
+    vp = _pad_axis(_pad_axis(v, 2, nkp), 3, dp)
+    bp = None
+    if bias is not None:
+        bp = _pad_axis(_pad_axis(bias, 2, nqp if bias.shape[2] > 1 else 1), 3, nkp)
+        if bp.shape[2] == 1:
+            bp = jnp.broadcast_to(bp, (bp.shape[0], bp.shape[1], nqp, nkp))
+
+    o, lse = flash_fwd.fwd_padded(
+        qp, kp, vp, bp, offsets,
+        scale=scale, causal=causal, block_q=bq, block_k=bk,
+        kv_valid_len=kv_valid_len, return_lse=return_lse,
+        num_heads_q=Hq, interpret=interpret,
+    )
+    o = o[:, :, :Nq, :D]
+    lse_out = lse[:, :, :Nq] if lse is not None else None
+    return o, lse_out
+
+
+def _int_zero_cotangent(x):
+    """Cotangent for integer leaves (offsets): JAX's symbolic float0 zero."""
+    import numpy as np
+
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _flash_core_fwd(q, k, v, bias, offsets, scale, causal, blocks,
+                    kv_valid_len, interpret):
+    o, lse = _flash_core_fwd_impl(
+        q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
+        return_lse=True,
+    )
+    return o, (q, k, v, bias, offsets, o, lse)
+
+
+def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret,
+                    residuals, g):
+    q, k, v, bias, offsets, o, lse = residuals
+    B, Hq, Nq, D = q.shape
+    Hkv, Nk = k.shape[1], k.shape[2]
+
+    # GQA: expand KV to Hq head-wise for the bwd kernels, reduce after.
+    rep = Hq // Hkv
+    ke = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+    ve = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+
+    do = g.astype(q.dtype)
+    # Δ = rowsum(dO ⊙ O): one-shot preprocess (cf. triton _attn_bwd_preprocess,
+    # reference triton_fused_attention.py:192-206), fused by XLA.
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    bq_dkv, bk_dkv = blocks.block_q_dkv, blocks.block_k_dkv
+    bq_dq, bk_dq = blocks.block_q_dq, blocks.block_k_dq
+    dp = _round_up(D, NUM_LANES)
+
+    def padded(x, bq_, bk_, axis2_is_q=True):
+        n = _round_up(Nq if axis2_is_q else Nk, bq_ if axis2_is_q else bk_)
+        return _pad_axis(_pad_axis(x, 2, n), 3, dp)
+
+    want_dbias = bias is not None
+
+    # ── dK/dV pass ──
+    nqp = _round_up(Nq, bq_dkv)
+    nkp = _round_up(Nk, bk_dkv)
+    qp = _pad_axis(_pad_axis(q, 2, nqp), 3, dp)
+    kp = _pad_axis(_pad_axis(ke, 2, nkp), 3, dp)
+    vp = _pad_axis(_pad_axis(ve, 2, nkp), 3, dp)
+    dop = _pad_axis(_pad_axis(do, 2, nqp), 3, dp)
+    lse_rep = jnp.broadcast_to(
+        _pad_axis(lse, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
+    )
+    delta_rep = jnp.broadcast_to(
+        _pad_axis(delta, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
+    )
+    bp = _pad_bias(bias, nqp, nkp)
+    dk, dv = flash_bwd.dkv_padded(
+        qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
+        scale=scale, causal=causal, block_q=bq_dkv, block_k=bk_dkv,
+        kv_valid_len=kv_valid_len, interpret=interpret,
+    )
+    dk = dk[:, :, :Nk, :D]
+    dv = dv[:, :, :Nk, :D]
+    if rep > 1:
+        dk = dk.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(k.dtype)
+        dv = dv.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(v.dtype)
+
+    # ── dQ pass ──
+    nqp = _round_up(Nq, bq_dq)
+    nkp = _round_up(Nk, bk_dq)
+    qp = _pad_axis(_pad_axis(q, 2, nqp), 3, dp)
+    kp = _pad_axis(_pad_axis(ke, 2, nkp), 3, dp)
+    vp = _pad_axis(_pad_axis(ve, 2, nkp), 3, dp)
+    dop = _pad_axis(_pad_axis(do, 2, nqp), 3, dp)
+    lse_rep = jnp.broadcast_to(
+        _pad_axis(lse, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
+    )
+    delta_rep = jnp.broadcast_to(
+        _pad_axis(delta, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
+    )
+    bp = _pad_bias(bias, nqp, nkp)
+    dq, dbias_full = flash_bwd.dq_padded(
+        qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
+        scale=scale, causal=causal, block_q=bq_dq, block_k=bk_dq,
+        kv_valid_len=kv_valid_len, want_dbias=want_dbias, interpret=interpret,
+    )
+    dq = dq[:, :, :Nq, :D]
+
+    dbias = None
+    if want_dbias:
+        dbias = dbias_full[:, :, :Nq, :Nk]
+        # Reduce over broadcast dims back to the bias's own shape.
+        if bias.shape[0] == 1:
+            dbias = dbias.sum(axis=0, keepdims=True)
+        if bias.shape[1] == 1:
+            dbias = dbias.sum(axis=1, keepdims=True)
+        if bias.shape[2] == 1:
+            dbias = dbias.sum(axis=2, keepdims=True)
+        dbias = dbias.astype(bias.dtype)
+
+    return dq, dk, dv, dbias, _int_zero_cotangent(offsets)
+
+
+def _pad_bias(bias, nqp, nkp):
+    if bias is None:
+        return None
+    bp = _pad_axis(bias, 3, nkp)
+    if bias.shape[2] > 1:
+        bp = _pad_axis(bp, 2, nqp)
+    else:
+        bp = jnp.broadcast_to(bp, (bp.shape[0], bp.shape[1], nqp, nkp))
+    return bp
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# ───────────────────────────── public API ───────────────────────────────────
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: jax.Array | None = None,
+    causal: bool = False,
+    scale: float | None = None,
+    layout: str = "BHND",
+    block_sizes: BlockSizes | None = None,
+    q_offset: jax.Array | int = 0,
+    kv_offset: jax.Array | int = 0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused FlashAttention-2, differentiable, arbitrary shapes.
+
+    Args:
+      q/k/v: ``[B, H, N, D]`` (layout="BHND") or ``[B, N, H, D]``
+        (layout="BNHD" — the reference's ``BNHD_fmt``/``permute_NH`` path,
+        FlashAttn.py:59-61). K/V may have fewer heads (GQA) as long as they
+        divide Q's head count. ``Nk`` may differ from ``Nq``.
+      bias: additive attention bias (real support — the reference's ``mask``
+        arg is dead, FlashAttn.py:49), shape broadcastable to
+        ``[B, H, Nq, Nk]`` over batch/head (dims of size 1); differentiable.
+      causal: causal masking with whole-tile skipping.
+      scale: softmax scale, default ``D ** -0.5`` (FlashAttn.py:63-64).
+      q_offset/kv_offset: absolute position offsets of the q/kv chunks (for
+        sequence-parallel callers); ints or scalar int32 arrays.
+      block_sizes: override the tile policy.
+      interpret: force Pallas interpreter mode (None = auto: TPU compiles,
+        CPU interprets).
+    Returns:
+      Attention output, same shape/layout/dtype as ``q``.
+    """
+    in_dtype = q.dtype
+    q = _to_bhnd(q, layout)
+    k = _to_bhnd(k, layout)
+    v = _to_bhnd(v, layout)
+    _validate(q, k, v, bias)
+
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    kdt = _dispatch_dtype(in_dtype)
+    q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
+
+    if block_sizes is None:
+        block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3], kdt)
+    offsets = jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
+    )
+    o = _flash_core(
+        q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
+        k.shape[2], interpret,
+    )
+    return _from_bhnd(o.astype(in_dtype), layout)
+
+
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: jax.Array | None = None,
+    causal: bool = False,
+    scale: float | None = None,
+    layout: str = "BHND",
+    block_sizes: BlockSizes | None = None,
+    q_offset: jax.Array | int = 0,
+    kv_offset: jax.Array | int = 0,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward-only fused attention returning ``(O, L)`` with
+    ``L = logsumexp`` per row ``[B, H, Nq]`` — the merge primitive for ring
+    attention / sequence-parallel partial combines (SURVEY.md §5).
+    """
+    in_dtype = q.dtype
+    q = _to_bhnd(q, layout)
+    k = _to_bhnd(k, layout)
+    v = _to_bhnd(v, layout)
+    _validate(q, k, v, bias)
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    kdt = _dispatch_dtype(in_dtype)
+    q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
+    if block_sizes is None:
+        block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3], kdt)
+    offsets = jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
+    )
+    o, lse = _flash_core_fwd_impl(
+        q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
+        k.shape[2], interpret, return_lse=True,
+    )
+    return _from_bhnd(o.astype(in_dtype), layout), lse
+
+
+def _validate(q, k, v, bias):
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        raise ValueError(
+            f"q/k/v must be rank-4, got {q.shape}, {k.shape}, {v.shape}"
+        )
+    B, Hq, Nq, D = q.shape
+    if k.shape != v.shape:
+        raise ValueError(f"k and v shapes differ: {k.shape} vs {v.shape}")
+    if k.shape[0] != B or k.shape[3] != D:
+        raise ValueError(f"k {k.shape} incompatible with q {q.shape}")
+    if Hq % k.shape[1] != 0:
+        raise ValueError(f"GQA requires Hkv | Hq: Hq={Hq}, Hkv={k.shape[1]}")
+    if bias is not None:
+        if bias.ndim != 4:
+            raise ValueError(f"bias must be rank-4, got {bias.shape}")
+        Bb, Hb, Nqb, Nkb = bias.shape
+        if Bb not in (1, B) or Hb not in (1, Hq):
+            raise ValueError(f"bias batch/head {bias.shape} not broadcastable")
+        if Nqb not in (1, Nq) or Nkb != k.shape[2]:
+            raise ValueError(
+                f"bias seq dims {bias.shape} must be (1|{Nq}, {k.shape[2]})"
+            )

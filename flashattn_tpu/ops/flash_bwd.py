@@ -1,0 +1,375 @@
+"""Pallas TPU FlashAttention-2 backward kernels.
+
+TPU-native redesign of the reference backward (bwd_kernel,
+kernel_fp16.cu:547-740) as the standard FA-2 *two-kernel* backward:
+
+  * ``dkv_padded`` — grid over KV tiles, sequential over Q tiles; each program
+    owns one (dK, dV) tile accumulated in VMEM scratch. This is the
+    reference's single bwd kernel minus its dQ write.
+  * ``dq_padded`` — grid over Q tiles, sequential over KV tiles; each program
+    owns one dQ tile. Splitting dQ into its own kernel eliminates the
+    reference's cross-workgroup non-atomic dQ race (SURVEY.md §6 quirk 2:
+    kernel_fp16.cu:736 accumulates dQ from every Tc block).
+
+Both recompute ``S = scale·QKᵀ (+bias)`` from saved residuals ``L`` (log-sum-
+exp) and ``Δ = rowsum(dO ⊙ O)``; Δ is computed once on the host side (fixing
+quirk 3 — the reference recomputes Di per Tc block, kernel_fp16.cu:605-631)
+and both dQ and dK carry the symmetric ``scale`` factor (fixing quirk 1 — the
+reference leaves dQ a factor log2(e) large, kernel_fp16.cu:736 vs 737).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
+from flashattn_tpu.utils import platform
+
+NUM_LANES = 128
+
+
+def _recompute_p_ds(
+    q, k, v, do, lse, delta, bias_val, *,
+    scale, causal, need_tail_mask, kv_valid_len,
+    q_tile, kv_tile, block_q, block_k, q_off, kv_off,
+):
+    """Shared recompute: returns (p, ds) as f32 (block_q, block_k).
+
+    ``p = exp(S − L)`` is the true normalized probability
+    (reference bwd kernel_fp16.cu:690-721); ``ds = p ∘ (dp − Δ)``.
+    """
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s *= scale
+    if bias_val is not None:
+        s += bias_val.astype(jnp.float32)
+    if causal or need_tail_mask:
+        col_pos = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        ) + kv_tile * block_k
+        mask = None
+        if need_tail_mask:
+            mask = col_pos < kv_valid_len
+        if causal:
+            row_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            ) + q_tile * block_q + q_off
+            cmask = (col_pos + kv_off) <= row_pos
+            mask = cmask if mask is None else (mask & cmask)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse[:, :1])
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta[:, :1])
+    return p, ds
+
+
+def _dkv_kernel(
+    offs_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale, causal, block_q, block_k, num_q_tiles,
+    kv_valid_len, kv_padded_len,
+):
+    kv_tile = pl.program_id(2)
+    q_tile = pl.program_id(3)
+
+    @pl.when(q_tile == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q_off = offs_ref[0]
+    kv_off = offs_ref[1]
+    if causal:
+        should_run = (kv_tile * block_k + kv_off) <= (
+            q_tile * block_q + (block_q - 1) + q_off
+        )
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        p, ds = _recompute_p_ds(
+            q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
+            bias_ref[0, 0] if bias_ref is not None else None,
+            scale=scale, causal=causal,
+            need_tail_mask=kv_valid_len != kv_padded_len,
+            kv_valid_len=kv_valid_len,
+            q_tile=q_tile, kv_tile=kv_tile,
+            block_q=block_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
+        )
+        # dV += Pᵀ · dO   (reference kernel_fp16.cu:724)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dK += dSᵀ · Q   (reference kernel_fp16.cu:737; scale folded at store)
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_tile == num_q_tiles - 1)
+    def _store():
+        dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    offs_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+    dq_ref, dbias_ref,
+    dq_scr,
+    *, scale, causal, block_q, block_k, num_kv_tiles,
+    kv_valid_len, kv_padded_len,
+):
+    q_tile = pl.program_id(2)
+    kv_tile = pl.program_id(3)
+
+    @pl.when(kv_tile == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q_off = offs_ref[0]
+    kv_off = offs_ref[1]
+    if causal:
+        should_run = (kv_tile * block_k + kv_off) <= (
+            q_tile * block_q + (block_q - 1) + q_off
+        )
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        _, ds = _recompute_p_ds(
+            q, k, v_ref[0, 0], do_ref[0, 0], lse_ref[0, 0], delta_ref[0, 0],
+            bias_ref[0, 0] if bias_ref is not None else None,
+            scale=scale, causal=causal,
+            need_tail_mask=kv_valid_len != kv_padded_len,
+            kv_valid_len=kv_valid_len,
+            q_tile=q_tile, kv_tile=kv_tile,
+            block_q=block_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
+        )
+        if dbias_ref is not None:
+            dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
+        # dQ += dS · K   (reference kernel_fp16.cu:736 — here with symmetric
+        # scale, applied at store)
+        dq_scr[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal and dbias_ref is not None:
+        # Skipped (above-diagonal) tiles still own a dbias block: zero it.
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dbias():
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    @pl.when(kv_tile == num_kv_tiles - 1)
+    def _store():
+        dq_ref[0, 0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+def _common_specs(B, H, block_q, block_k, D, bias, order):
+    """Build in_specs/index fns shared by both bwd kernels.
+
+    ``order`` is "kv_major" (grid (B,H,Tk,Tq)) or "q_major" (grid (B,H,Tq,Tk)).
+    """
+    if order == "kv_major":
+        def qi(b, h, j, i):
+            return (b, h, i, 0)
+
+        def kvi(b, h, j, i):
+            return (b, h, j, 0)
+
+        def bi_factory(Bb, Hb):
+            return lambda b, h, j, i: (b if Bb > 1 else 0, h if Hb > 1 else 0, i, j)
+    else:
+        def qi(b, h, i, j):
+            return (b, h, i, 0)
+
+        def kvi(b, h, i, j):
+            return (b, h, j, 0)
+
+        def bi_factory(Bb, Hb):
+            return lambda b, h, i, j: (b if Bb > 1 else 0, h if Hb > 1 else 0, i, j)
+
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets
+        pl.BlockSpec((1, 1, block_q, D), qi, memory_space=pltpu.VMEM),   # q
+        pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),  # k
+        pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),  # v
+        pl.BlockSpec((1, 1, block_q, D), qi, memory_space=pltpu.VMEM),   # do
+        pl.BlockSpec((1, 1, block_q, NUM_LANES), qi, memory_space=pltpu.VMEM),  # lse
+        pl.BlockSpec((1, 1, block_q, NUM_LANES), qi, memory_space=pltpu.VMEM),  # delta
+    ]
+    if bias is not None:
+        specs.append(
+            pl.BlockSpec((1, 1, block_q, block_k),
+                         bi_factory(bias.shape[0], bias.shape[1]),
+                         memory_space=pltpu.VMEM)
+        )
+    return specs, qi, kvi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "block_q", "block_k",
+                     "kv_valid_len", "interpret"),
+)
+def dkv_padded(
+    q, k, v, do, lse_rep, delta_rep, bias, offsets,
+    *, scale, causal, block_q, block_k, kv_valid_len, interpret=None,
+):
+    """dK/dV kernel launch. All seq dims pre-padded; H == Hkv (GQA expanded
+    by the wrapper). ``lse_rep``/``delta_rep``: [B,H,Nqp,128] lane-replicated.
+    """
+    if interpret is None:
+        interpret = platform.pallas_interpret_default()
+    B, H, Nqp, D = q.shape
+    Nkp = k.shape[2]
+    tq, tk = Nqp // block_q, Nkp // block_k
+    grid = (B, H, tk, tq)
+
+    specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias, "kv_major")
+    args = [offsets.astype(jnp.int32), q, k, v, do, lse_rep, delta_rep]
+    if bias is not None:
+        args.append(bias)
+    has_bias = bias is not None
+
+    def entry(offs, qr, kr, vr, dor, lser, deltar, *rest):
+        idx = 0
+        bias_r = rest[idx] if has_bias else None
+        idx += 1 if has_bias else 0
+        dk_r, dv_r = rest[idx], rest[idx + 1]
+        dk_s, dv_s = rest[idx + 2], rest[idx + 3]
+        _dkv_kernel(
+            offs, qr, kr, vr, dor, lser, deltar, bias_r, dk_r, dv_r, dk_s, dv_s,
+            scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+            num_q_tiles=tq, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+        )
+
+    dk, dv = pl.pallas_call(
+        entry,
+        grid=grid,
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * B * H * Nqp * Nkp * D * (0.5 if causal else 1.0)),
+            bytes_accessed=(q.size + k.size + v.size) * 2 * q.dtype.itemsize,
+            transcendentals=B * H * Nqp * Nkp,
+        ),
+        interpret=interpret,
+    )(*args)
+    return dk, dv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "block_q", "block_k",
+                     "kv_valid_len", "want_dbias", "interpret"),
+)
+def dq_padded(
+    q, k, v, do, lse_rep, delta_rep, bias, offsets,
+    *, scale, causal, block_q, block_k, kv_valid_len,
+    want_dbias=False, interpret=None,
+):
+    """dQ kernel launch (grid over Q tiles — no dQ races by construction).
+
+    Optionally emits dS blocks as the full-[B,H,Nqp,Nkp] dbias (real
+    attention-bias gradient — a capability the reference lacks entirely, its
+    ``mask`` arg being dead, FlashAttn.py:49).
+    """
+    if interpret is None:
+        interpret = platform.pallas_interpret_default()
+    B, H, Nqp, D = q.shape
+    Nkp = k.shape[2]
+    tq, tk = Nqp // block_q, Nkp // block_k
+    grid = (B, H, tq, tk)
+
+    specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias, "q_major")
+    args = [offsets.astype(jnp.int32), q, k, v, do, lse_rep, delta_rep]
+    if bias is not None:
+        args.append(bias)
+    has_bias = bias is not None
+
+    out_specs = [pl.BlockSpec((1, 1, block_q, D), qi, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if want_dbias:
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q, block_k),
+                         lambda b, h, i, j: (b, h, i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, H, Nqp, Nkp), jnp.float32)
+        )
+
+    def entry(offs, qr, kr, vr, dor, lser, deltar, *rest):
+        idx = 0
+        bias_r = rest[idx] if has_bias else None
+        idx += 1 if has_bias else 0
+        dq_r = rest[idx]; idx += 1
+        dbias_r = rest[idx] if want_dbias else None
+        idx += 1 if want_dbias else 0
+        dq_s = rest[idx]
+        _dq_kernel(
+            offs, qr, kr, vr, dor, lser, deltar, bias_r, dq_r, dbias_r, dq_s,
+            scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+            num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+        )
+
+    outs = pl.pallas_call(
+        entry,
+        grid=grid,
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * B * H * Nqp * Nkp * D * (0.5 if causal else 1.0)),
+            bytes_accessed=(q.size * 2 + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Nqp * Nkp,
+        ),
+        interpret=interpret,
+    )(*args)
+    if want_dbias:
+        return outs[0], outs[1]
+    return outs[0], None

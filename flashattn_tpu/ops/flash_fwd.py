@@ -1,0 +1,262 @@
+"""Pallas TPU FlashAttention-2 forward kernel.
+
+TPU-native redesign of the reference's fused forward (fwd_kernel,
+kernel_fp16.cu:306-544): the Br×Bc LDS tiles become VMEM BlockSpecs, WMMA
+fragments become MXU `jnp.dot` with f32 accumulation, the running (m, l)
+online-softmax state lives in VMEM scratch that persists across the KV grid
+dimension, and `L = m + log(l)` (kernel_fp16.cu:541-542, here in natural log)
+is emitted as the residual for backward and for cross-device LSE merging
+(ring attention).
+
+Differences from the reference, by design (SURVEY.md §6-7):
+  * causal masking skips whole KV tiles via a predicated region bound by the
+    diagonal (the reference masks everything, kernel_fp16.cu:396-411);
+  * softmax statistics are always f32 (the reference keeps fp16 LDS tiles);
+  * no OOB read-then-mask of the KV tail (quirk 4): inputs are padded and the
+    tail is masked with a finite large-negative value in f32;
+  * absolute q/kv position offsets are runtime scalars, so the same kernel
+    serves sequence-parallel callers (ring attention) with globally-consistent
+    causal masks.
+
+Grid: ``(B, Hq, Tq, Tk)`` — batch/head/Q-tile parallel, KV-tile sequential
+(the online-softmax reduction), mirroring the reference's ``dim3(b, h, Tr)``
+grid with its in-kernel Tc loop (kernel_fp16.cu:798-806, 381-508).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
+from flashattn_tpu.utils import platform
+
+NUM_LANES = 128
+
+
+def _fwd_kernel(
+    # inputs
+    offs_ref,  # SMEM (2,) int32: [q_offset, kv_offset] absolute positions
+    q_ref,     # VMEM (1, 1, block_q, D)
+    k_ref,     # VMEM (1, 1, block_k, D)
+    v_ref,     # VMEM (1, 1, block_k, D)
+    bias_ref,  # VMEM (1, 1, block_q, block_k) or None
+    # outputs
+    o_ref,     # VMEM (1, 1, block_q, D)
+    lse_ref,   # VMEM (1, 1, block_q, NUM_LANES) or None
+    # scratch
+    m_scr,     # VMEM (block_q, NUM_LANES) f32
+    l_scr,     # VMEM (block_q, NUM_LANES) f32
+    acc_scr,   # VMEM (block_q, D) f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    num_kv_tiles: int,
+    kv_valid_len: int,
+    kv_padded_len: int,
+    mask_value: float,
+):
+    q_tile = pl.program_id(2)
+    kv_tile = pl.program_id(3)
+
+    @pl.when(kv_tile == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_off = offs_ref[0]
+    kv_off = offs_ref[1]
+
+    if causal:
+        # Skip tiles strictly above the diagonal: the tile's first kv position
+        # must not exceed the tile's last q position (absolute coordinates).
+        first_kv_pos = kv_tile * block_k + kv_off
+        last_q_pos = q_tile * block_q + (block_q - 1) + q_off
+        should_run = first_kv_pos <= last_q_pos
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s *= scale
+        if bias_ref is not None:
+            s += bias_ref[0, 0].astype(jnp.float32)
+
+        need_tail_mask = kv_valid_len != kv_padded_len
+        if causal or need_tail_mask:
+            col_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            ) + kv_tile * block_k
+            mask = None
+            if need_tail_mask:
+                mask = col_pos < kv_valid_len
+            if causal:
+                row_pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                ) + q_tile * block_q + q_off
+                cmask = (col_pos + kv_off) <= row_pos
+                mask = cmask if mask is None else (mask & cmask)
+            s = jnp.where(mask, s, mask_value)
+
+        m_prev = m_scr[...]                                  # (bq, 128)
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)            # (bq, 1)
+        m_next = jnp.maximum(m_prev, m_cur)                  # (bq, 128)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                       # (bq, bk)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        acc_scr[...] *= alpha[:, :1]
+        v = v_ref[0, 0]
+        acc_scr[...] += jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_tile == num_kv_tiles - 1)
+    def _store():
+        l = l_scr[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] * (1.0 / l_safe[:, :1])).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0] = m_scr[...] + jnp.log(l_safe)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale", "causal", "block_q", "block_k", "kv_valid_len",
+        "return_lse", "interpret", "num_heads_q",
+    ),
+)
+def fwd_padded(
+    q: jax.Array,       # [B, Hq, Nq_pad, Dp] — Nq_pad % block_q == 0
+    k: jax.Array,       # [B, Hkv, Nk_pad, Dp] — Nk_pad % block_k == 0
+    v: jax.Array,       # [B, Hkv, Nk_pad, Dp]
+    bias: jax.Array | None,   # [Bb, Hb, Nq_pad, Nk_pad] (Bb∈{1,B}, Hb∈{1,Hq})
+    offsets: jax.Array,       # (2,) int32 [q_offset, kv_offset]
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    kv_valid_len: int,
+    return_lse: bool,
+    num_heads_q: int,
+    interpret: bool | None = None,
+):
+    """Launch the forward kernel on pre-padded, canonical-layout inputs.
+
+    Host-side padding/slicing lives in :mod:`flashattn_tpu.ops.flash` (the
+    role of forward_fp16's pad/slice prologue, kernel_fp16.cu:761-796).
+    """
+    if interpret is None:
+        interpret = platform.pallas_interpret_default()
+    B, Hq, Nqp, D = q.shape
+    _, Hkv, Nkp, _ = k.shape
+    assert Nqp % block_q == 0 and Nkp % block_k == 0, (Nqp, block_q, Nkp, block_k)
+    assert Hq == num_heads_q
+    tq, tk = Nqp // block_q, Nkp // block_k
+    grid = (B, Hq, tq, tk)
+    q_hd_ratio = Hq // Hkv
+
+    def q_index(b, h, i, j):
+        return (b, h, i, 0)
+
+    def kv_index(b, h, i, j):
+        return (b, h // q_hd_ratio, j, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets
+        pl.BlockSpec((1, 1, block_q, D), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), kv_index, memory_space=pltpu.VMEM),
+    ]
+    args = [offsets.astype(jnp.int32), q, k, v]
+    if bias is not None:
+        Bb, Hb = bias.shape[0], bias.shape[1]
+
+        def bias_index(b, h, i, j):
+            return (b if Bb > 1 else 0, h if Hb > 1 else 0, i, j)
+
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_q, block_k), bias_index,
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, Hq, Nqp, D), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, D), q_index, memory_space=pltpu.VMEM)
+    ]
+    if return_lse:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, Hq, Nqp, NUM_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), q_index,
+                         memory_space=pltpu.VMEM)
+        )
+
+    # Pallas passes refs positionally; wrap to slot optional bias/lse refs.
+    has_bias = bias is not None
+
+    def kernel_entry(offs, qr, kr, vr, *rest):
+        idx = 0
+        bias_r = None
+        if has_bias:
+            bias_r = rest[idx]; idx += 1
+        o_r = rest[idx]; idx += 1
+        lse_r = rest[idx] if return_lse else None
+        idx += 1 if return_lse else 0
+        m_scr, l_scr, acc_scr = rest[idx:idx + 3]
+        _fwd_kernel(
+            offs, qr, kr, vr, bias_r, o_r, lse_r, m_scr, l_scr, acc_scr,
+            scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+            num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+            mask_value=DEFAULT_MASK_VALUE,
+        )
+
+    flops_per_prog = 4 * block_q * block_k * D  # QK^T + PV
+    cost = pl.CostEstimate(
+        flops=int(flops_per_prog * B * Hq * tq * tk * (0.5 if causal else 1.0)),
+        bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+        transcendentals=B * Hq * Nqp * Nkp,
+    )
+
+    outs = pl.pallas_call(
+        kernel_entry,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+
+    o = outs[0]
+    lse = outs[1][..., 0] if return_lse else None  # de-replicate lanes
+    return o, lse

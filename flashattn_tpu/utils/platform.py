@@ -1,0 +1,40 @@
+"""Backend detection and Pallas execution-mode policy.
+
+Role parity: the reference gates its build/run path per platform
+(rocwmma_fattn/FlashAttn.py:7-16 picks ZLUDA vs ROCm and pins the GPU arch).
+Here the equivalent decision is "compile Pallas kernels with Mosaic (TPU) or
+run them in interpreter mode (CPU/testing)" — tests force a CPU backend with a
+virtual device mesh (SURVEY.md §4), so kernels must transparently interpret.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+
+@functools.lru_cache(maxsize=None)
+def backend() -> str:
+    return jax.default_backend()
+
+
+def on_tpu() -> bool:
+    return backend() == "tpu"
+
+
+def pallas_interpret_default() -> bool:
+    """True when Pallas kernels should run in interpreter mode.
+
+    Mosaic only targets TPU; on CPU (pytest) we interpret. Overridable via
+    ``FLASHATTN_TPU_INTERPRET=0/1`` for debugging on-device.
+    """
+    env = os.environ.get("FLASHATTN_TPU_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return not on_tpu()
+
+
+def num_devices() -> int:
+    return jax.device_count()

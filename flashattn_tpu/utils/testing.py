@@ -1,0 +1,75 @@
+"""Testing helpers: input generation, explicit per-dtype tolerances.
+
+Role parity: the reference's precision tests *print* max-abs diffs and rely on
+eyeballing (precision_test.py:66-98 — "no asserts", SURVEY.md §4). This module
+formalizes that: pinned tolerances per dtype, oracle-relative (the Pallas
+kernels accumulate in f32, so they are *more* accurate than the reference's
+fp16-LDS kernels; tolerances are set vs the exact-softmax oracle).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Tolerance(NamedTuple):
+    atol: float
+    rtol: float
+
+
+# Max-abs-error budgets vs the f32 exact oracle, sized from the dtype's
+# round-off on O(1) attention outputs. The adversarial reference shape
+# (B3 H7 N1537 D111 Nkv1234 bf16, precision_test.py:34-38) passes these.
+FWD_TOL = {
+    jnp.float32.dtype: Tolerance(2e-5, 2e-5),
+    jnp.bfloat16.dtype: Tolerance(2e-2, 2e-2),
+    # fp16 inputs run through the bf16 kernel path (dtype dispatch mirrors
+    # host.cpp:41-44's cast-to-bf16), so error is bf16-class.
+    jnp.float16.dtype: Tolerance(2e-2, 2e-2),
+}
+# Gradients amplify round-off via the dS = P(dP - D) cancellation; budgets are
+# looser, matching what the reference's printed diffs show for its own kernels.
+BWD_TOL = {
+    jnp.float32.dtype: Tolerance(2e-4, 2e-4),
+    jnp.bfloat16.dtype: Tolerance(8e-2, 8e-2),
+    jnp.float16.dtype: Tolerance(8e-2, 8e-2),
+}
+
+
+def make_qkv(
+    key,
+    B: int,
+    H: int,
+    Nq: int,
+    D: int,
+    *,
+    Nk: int | None = None,
+    Hkv: int | None = None,
+    dtype=jnp.float32,
+):
+    """Random Q/K/V in `[B,H,N,D]`, unit-scale normal (reference tests use randn)."""
+    Nk = Nq if Nk is None else Nk
+    Hkv = H if Hkv is None else Hkv
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, Nq, D), dtype=jnp.float32).astype(dtype)
+    k = jax.random.normal(kk, (B, Hkv, Nk, D), dtype=jnp.float32).astype(dtype)
+    v = jax.random.normal(kv, (B, Hkv, Nk, D), dtype=jnp.float32).astype(dtype)
+    return q, k, v
+
+
+def assert_close(actual, expected, tol: Tolerance, name: str = "out"):
+    """Assert max-abs and relative error within tolerance; report both."""
+    a = np.asarray(actual, dtype=np.float32)
+    e = np.asarray(expected, dtype=np.float32)
+    assert a.shape == e.shape, f"{name}: shape {a.shape} != {e.shape}"
+    abs_err = np.max(np.abs(a - e)) if a.size else 0.0
+    denom = np.maximum(np.abs(e), 1.0)
+    rel_err = np.max(np.abs(a - e) / denom) if a.size else 0.0
+    assert abs_err <= tol.atol or rel_err <= tol.rtol, (
+        f"{name}: max_abs_err={abs_err:.3e} (atol {tol.atol:.1e}), "
+        f"max_rel_err={rel_err:.3e} (rtol {tol.rtol:.1e})"
+    )

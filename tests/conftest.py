@@ -1,0 +1,50 @@
+"""Test configuration: force a CPU backend with a virtual 8-device mesh.
+
+The reference has no test framework (SURVEY.md §4); this suite formalizes its
+four manual practices — golden-model differential testing, adversarial shapes,
+cross-implementation agreement, bench-as-test — on CPU so it runs anywhere:
+Pallas kernels execute in interpreter mode (utils/platform.py) and sharding
+tests use 8 virtual devices. TPU-only perf tests are marked `tpu`.
+
+Note: the axon sitecustomize registers a TPU backend before pytest starts, so
+the platform must be overridden via jax.config *before any backend use* —
+this import-time hook is the first JAX touch in the process.
+"""
+
+import os
+
+import jax
+import pytest
+
+if os.environ.get("FLASHATTN_TPU_TEST_BACKEND", "cpu") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        pass  # backend already initialized (e.g. driver chose TPU); run as-is
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: requires a real TPU (skipped on CPU test runs)"
+    )
+    config.addinivalue_line("markers", "slow: long-running precision sweeps")
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(reason="needs real TPU hardware")
+    for item in items:
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    """8-device 1D mesh (virtual CPU devices) for sharding tests."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
+    return Mesh(np.array(jax.devices()[:8]), axis_names=("x",))
