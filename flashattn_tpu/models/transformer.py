@@ -1,0 +1,364 @@
+"""Decoder-only transformer LM (GQA + RoPE + RMSNorm + SwiGLU) on the fused
+attention engine.
+
+The LLM-serving role from the north star (BASELINE.json: "LLM inference ...
+drop-in SDPA"). Pure-pytree parameters (no framework dependency), activations
+kept in ``[B, N, H, D]`` so attention runs in its native BNHD layout with no
+host rearrange (the capability behind the reference's ``permute_NH``,
+kernel_fp16.cu:327-335).
+
+Three entry points:
+  * :func:`transformer_forward` — single-device training/eval forward;
+  * :func:`decode_step` / :func:`init_kv_cache` — KV-cache autoregressive
+    decode (Nq=1 attention);
+  * :func:`make_sharded_train_step` — dp×tp×sp manual-SPMD training step
+    (``shard_map``): heads sharded on ``model``, sequence sharded on ``seq``
+    with differentiable ring attention, batch on ``data``; gradient psums per
+    parameter group.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.ops.flash import flash_attention
+from flashattn_tpu.parallel.ring import ring_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 32000
+    d_model: int = 512
+    n_layers: int = 4
+    n_heads: int = 8
+    n_kv_heads: int = 4
+    d_head: int = 64
+    d_ff: int = 1408
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+
+
+def _rms_norm(x, w, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale).astype(x.dtype) * w
+
+
+def _rope(x, positions, theta):
+    """Rotary embedding over the last dim of [B, N, H, D]."""
+    d = x.shape[-1]
+    half = d // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[:, :, None, None].astype(jnp.float32) * freqs  # B N 1 half
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def init_transformer(key, cfg: TransformerConfig):
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    dm, dh = cfg.d_model, cfg.d_head
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32)
+                * (fan_in ** -0.5)).astype(cfg.dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append({
+            "ln1": jnp.ones((dm,), cfg.dtype),
+            "wq": dense(ks[0], (dm, cfg.n_heads, dh), dm),
+            "wk": dense(ks[1], (dm, cfg.n_kv_heads, dh), dm),
+            "wv": dense(ks[2], (dm, cfg.n_kv_heads, dh), dm),
+            "wo": dense(ks[3], (cfg.n_heads, dh, dm), cfg.n_heads * dh),
+            "ln2": jnp.ones((dm,), cfg.dtype),
+            "w_gate": dense(ks[4], (dm, cfg.d_ff), dm),
+            "w_up": dense(ks[5], (dm, cfg.d_ff), dm),
+            "w_down": dense(ks[6], (cfg.d_ff, dm), cfg.d_ff),
+        })
+    return {
+        "embed": (jax.random.normal(keys[-2], (cfg.vocab_size, dm), jnp.float32)
+                  * 0.02).astype(cfg.dtype),
+        "ln_f": jnp.ones((dm,), cfg.dtype),
+        "layers": layers,
+    }
+
+
+def _attention_block(layer, x, positions, cfg, attn_fn):
+    h = _rms_norm(x, layer["ln1"])
+    q = jnp.einsum("bnd,dhe->bnhe", h, layer["wq"])
+    k = jnp.einsum("bnd,dhe->bnhe", h, layer["wk"])
+    v = jnp.einsum("bnd,dhe->bnhe", h, layer["wv"])
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+    o = attn_fn(q, k, v)  # [B, N, H, D]
+    return x + jnp.einsum("bnhe,hed->bnd", o, layer["wo"]).astype(x.dtype)
+
+
+def _mlp_block(layer, x):
+    h = _rms_norm(x, layer["ln2"])
+    gate = jax.nn.silu(jnp.einsum("bnd,df->bnf", h, layer["w_gate"])
+                       .astype(jnp.float32)).astype(x.dtype)
+    up = jnp.einsum("bnd,df->bnf", h, layer["w_up"])
+    return x + jnp.einsum("bnf,fd->bnd", gate * up, layer["w_down"])
+
+
+def transformer_forward(params, tokens, cfg: TransformerConfig,
+                        *, interpret=None):
+    """tokens [B, N] int32 → logits [B, N, vocab] f32 (causal LM)."""
+    B, N = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
+
+    def attn(q, k, v):
+        return flash_attention(
+            q, k, v, causal=True, layout="BNHD", interpret=interpret
+        )
+
+    for layer in params["layers"]:
+        x = _attention_block(layer, x, positions, cfg, attn)
+        x = _mlp_block(layer, x)
+    x = _rms_norm(x, params["ln_f"])
+    return jnp.einsum("bnd,vd->bnv", x, params["embed"]).astype(jnp.float32)
+
+
+def lm_loss(params, tokens, cfg: TransformerConfig, *, interpret=None):
+    """Next-token cross-entropy (mean over all positions)."""
+    logits = transformer_forward(params, tokens[:, :-1], cfg,
+                                 interpret=interpret)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+# ───────────────────────────── decode path ──────────────────────────────────
+
+
+def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
+    shape = (batch, max_len, cfg.n_kv_heads, cfg.d_head)
+    return {
+        "k": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
+        "v": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+def decode_step(params, cache, token, cfg: TransformerConfig,
+                *, interpret=None):
+    """One autoregressive step: token [B] int32 → (logits [B, vocab], cache).
+
+    Attention runs with Nq=1 against the filled cache prefix — the kernel's
+    decode shape (Nq=1 is exercised in test_flash_fwd) with the cache length
+    masked via the KV tail mask (bias on the padded region).
+    """
+    B = token.shape[0]
+    pos = cache["length"]
+    x = params["embed"][token][:, None]  # [B, 1, D]
+    positions = jnp.broadcast_to(pos[None, None], (B, 1))
+    max_len = cache["k"][0].shape[1]
+    # additive mask for not-yet-written cache slots
+    slot = jnp.arange(max_len)[None, None, None, :]
+    live = slot <= pos  # include the token being written this step
+    maskbias = jnp.where(live, 0.0, -1e9).astype(jnp.float32)
+
+    new_cache = {"k": [], "v": [], "length": pos + 1}
+    for i, layer in enumerate(params["layers"]):
+        h = _rms_norm(x, layer["ln1"])
+        q = jnp.einsum("bnd,dhe->bnhe", h, layer["wq"])
+        k = jnp.einsum("bnd,dhe->bnhe", h, layer["wk"])
+        v = jnp.einsum("bnd,dhe->bnhe", h, layer["wv"])
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        kc = jax.lax.dynamic_update_slice_in_dim(cache["k"][i], k, pos, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(cache["v"][i], v, pos, axis=1)
+        new_cache["k"].append(kc)
+        new_cache["v"].append(vc)
+        o = flash_attention(
+            q, kc, vc, causal=False, layout="BNHD", bias=maskbias,
+            interpret=interpret,
+        )
+        x = x + jnp.einsum("bnhe,hed->bnd", o, layer["wo"]).astype(x.dtype)
+        x = _mlp_block(layer, x)
+    x = _rms_norm(x, params["ln_f"])
+    logits = jnp.einsum("bnd,vd->bnv", x, params["embed"])[:, 0]
+    return logits.astype(jnp.float32), new_cache
+
+
+# ───────────────────────── sharded training step ─────────────────────────────
+
+
+def shard_params_leaf_rules(cfg: TransformerConfig):
+    """PartitionSpec per layer-param name for tp ("model" axis) sharding."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        "ln1": P(), "ln2": P(),
+        "wq": P(None, "model", None), "wk": P(None, "model", None),
+        "wv": P(None, "model", None), "wo": P("model", None, None),
+        "w_gate": P(None, "model"), "w_up": P(None, "model"),
+        "w_down": P("model", None),
+    }
+
+
+def _local_forward_sharded(params, tokens, cfg, mesh_shape, *, interpret):
+    """Per-shard forward: params carry local (tp-sharded) head/ff slices;
+    tokens are the local [B/dp, N/sp] chunk. Ring attention over 'seq'."""
+    sp = mesh_shape["seq"]
+    seq_idx = jax.lax.axis_index("seq")
+    B, N = tokens.shape
+    pos0 = seq_idx * N
+    positions = jnp.broadcast_to(jnp.arange(N)[None] + pos0, (B, N))
+    x = params["embed"][tokens]
+
+    def attn(q, k, v):
+        # [B, N/sp, Hloc, D] -> BHND for the ring
+        qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        o = ring_attention(
+            qh, kh, vh, axis_name="seq", axis_size=sp, causal=True
+        )
+        return o.transpose(0, 2, 1, 3)
+
+    for layer in params["layers"]:
+        h = _rms_norm(x, layer["ln1"])
+        q = jnp.einsum("bnd,dhe->bnhe", h, layer["wq"])
+        k = jnp.einsum("bnd,dhe->bnhe", h, layer["wk"])
+        v = jnp.einsum("bnd,dhe->bnhe", h, layer["wv"])
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        o = attn(q, k, v)
+        # wo is row-sharded over heads -> partial sums -> psum over tp
+        attn_out = jax.lax.psum(
+            jnp.einsum("bnhe,hed->bnd", o, layer["wo"]), "model"
+        )
+        x = x + attn_out.astype(x.dtype)
+        h2 = _rms_norm(x, layer["ln2"])
+        gate = jax.nn.silu(
+            jnp.einsum("bnd,df->bnf", h2, layer["w_gate"]).astype(jnp.float32)
+        ).astype(x.dtype)
+        up = jnp.einsum("bnd,df->bnf", h2, layer["w_up"])
+        mlp_out = jax.lax.psum(
+            jnp.einsum("bnf,fd->bnd", gate * up, layer["w_down"]), "model"
+        )
+        x = x + mlp_out.astype(x.dtype)
+    x = _rms_norm(x, params["ln_f"])
+    return jnp.einsum("bnd,vd->bnv", x, params["embed"]).astype(jnp.float32)
+
+
+def adamw_init(params):
+    """AdamW state mirroring the param tree (shardable with the same specs)."""
+    zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32),
+                                   params)
+    return {"mu": zeros,
+            "nu": jax.tree_util.tree_map(jnp.copy, zeros),
+            "count": jnp.zeros((), jnp.int32)}
+
+
+def adamw_update(grads, state, params, *, lr=1e-3, b1=0.9, b2=0.999,
+                 eps=1e-8, weight_decay=0.01):
+    count = state["count"] + 1
+    cf = count.astype(jnp.float32)
+
+    def upd(g, m, n, p):
+        gf = g.astype(jnp.float32)
+        m = b1 * m + (1 - b1) * gf
+        n = b2 * n + (1 - b2) * gf * gf
+        mhat = m / (1 - b1 ** cf)
+        nhat = n / (1 - b2 ** cf)
+        step = mhat / (jnp.sqrt(nhat) + eps) + weight_decay * p.astype(jnp.float32)
+        return (p.astype(jnp.float32) - lr * step).astype(p.dtype), m, n
+
+    flat_g, treedef = jax.tree_util.tree_flatten(grads)
+    flat_m = treedef.flatten_up_to(state["mu"])
+    flat_n = treedef.flatten_up_to(state["nu"])
+    flat_p = treedef.flatten_up_to(params)
+    out = [upd(g, m, n, p) for g, m, n, p in zip(flat_g, flat_m, flat_n, flat_p)]
+    new_p = treedef.unflatten([o[0] for o in out])
+    new_state = {"mu": treedef.unflatten([o[1] for o in out]),
+                 "nu": treedef.unflatten([o[2] for o in out]),
+                 "count": count}
+    return new_p, new_state
+
+
+def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
+                            interpret=None):
+    """Build ``(params, opt_state, tokens) -> (params, opt_state, loss)``
+    jitted over a (data, model, seq) mesh.
+
+    Parallelism map (SURVEY.md §2.5 build plan):
+      * data  — batch DP; grads psum'd across it,
+      * model — TP: attention heads + MLP columns sharded; activations
+        replicated; psum after wo / w_down,
+      * seq   — SP: sequence sharded; differentiable ring attention rotates
+        KV over ICI; grads of replicated params psum'd across it.
+    PP/EP: N/A for this model family (reference has no pipeline/MoE;
+    SURVEY.md §2.5 documents them as out of scope).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh_shape = dict(mesh.shape)
+    rules = shard_params_leaf_rules(cfg)
+
+    def param_specs():
+        layer_spec = {k: rules[k] for k in rules}
+        return {
+            "embed": P(),
+            "ln_f": P(),
+            "layers": [dict(layer_spec) for _ in range(cfg.n_layers)],
+        }
+
+    pspecs = param_specs()
+    tok_spec = P("data", "seq")
+
+    def local_loss(params, tokens):
+        logits = _local_forward_sharded(
+            params, tokens[:, :-1], cfg, mesh_shape, interpret=interpret
+        )
+        targets = tokens[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        # mean over the global batch×seq (psum over data+seq shards)
+        loss_sum = jax.lax.psum(jnp.sum(-ll), ("data", "seq"))
+        count = jax.lax.psum(ll.size, ("data", "seq"))
+        return loss_sum / count
+
+    def step(params, opt_state, tokens):
+        # Shift-window caveat under seq sharding: each shard computes loss on
+        # its local window only (boundary token crosses shards; acceptable for
+        # a training-throughput harness, exact at sp=1).
+        loss, grads = jax.value_and_grad(local_loss)(params, tokens)
+
+        # grads of tp-sharded leaves: psum over data+seq; replicated leaves
+        # (embed, norms): psum over data+seq+model.
+        def reduce_grads(g, spec):
+            axes = ("data", "seq")
+            if not any(s == "model" for s in jax.tree_util.tree_leaves(spec)):
+                axes = ("data", "model", "seq")
+            return jax.lax.psum(g, axes)
+
+        grads = {
+            "embed": reduce_grads(grads["embed"], P()),
+            "ln_f": reduce_grads(grads["ln_f"], P()),
+            "layers": [
+                {k: reduce_grads(g[k], rules[k]) for k in g}
+                for g in grads["layers"]
+            ],
+        }
+        params, opt_state = adamw_update(grads, opt_state, params, lr=lr)
+        return params, opt_state, loss
+
+    opt_specs = {"mu": pspecs, "nu": pspecs, "count": P()}
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(pspecs, opt_specs, tok_spec),
+        out_specs=(pspecs, opt_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped), pspecs, opt_specs

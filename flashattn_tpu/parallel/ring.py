@@ -1,0 +1,265 @@
+"""Ring attention: sequence-parallel fused attention over an ICI ring.
+
+New scope vs the reference (it is single-GPU), but built from the reference's
+own algebra: the stored per-row ``L = m + log(l)`` statistic
+(kernel_fp16.cu:541-542) is exactly the merge primitive for combining partial
+attention results across devices (SURVEY.md §5) —
+
+    L = logaddexp(L1, L2);  O = e^{L1−L}·O1 + e^{L2−L}·O2.
+
+Each device owns a contiguous sequence chunk of Q and of K/V. K/V chunks
+rotate around the ring via ``jax.lax.ppermute`` (point-to-point over ICI);
+each step computes a partial with the single-device Pallas kernel (passing
+absolute position offsets so causal masks stay globally consistent) and
+merges via the LSE rule. The backward pass rotates (K, V) together with
+(dK, dV) accumulators — after a final rotation the accumulated gradients
+arrive back at their home device — making sequence-parallel *training* work
+end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flashattn_tpu.ops import flash_bwd
+from flashattn_tpu.ops.flash import (
+    NUM_LANES,
+    _dispatch_dtype,
+    _flash_core_fwd_impl,
+    _pad_axis,
+    _round_up,
+    choose_block_sizes,
+)
+
+
+def _perm(n):
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def _merge(o, lse, o_p, lse_p):
+    """LSE-weighted merge of two normalized partials (f32)."""
+    lse_new = jnp.logaddexp(lse, lse_p)
+    w_old = jnp.exp(lse - lse_new)[..., None]
+    w_new = jnp.exp(lse_p - lse_new)[..., None]
+    return o * w_old + o_p * w_new, lse_new
+
+
+def _partial_fwd(q, k_blk, v_blk, q_off, kv_off, *, causal, scale, blocks):
+    offsets = jnp.stack([jnp.asarray(q_off, jnp.int32),
+                         jnp.asarray(kv_off, jnp.int32)])
+    o_p, lse_p = _flash_core_fwd_impl(
+        q, k_blk, v_blk, None, offsets, scale, causal, blocks,
+        k_blk.shape[2], None, return_lse=True,
+    )
+    return o_p.astype(jnp.float32), lse_p
+
+
+def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
+                 causal, scale, blocks):
+    """Per-chunk-pair (dQ, dK, dV) via the single-device bwd kernels, with
+    the *global* LSE/delta so partial gradients sum exactly."""
+    B, H, nq, D = q.shape
+    nk = k_blk.shape[2]
+    offsets = jnp.stack([jnp.asarray(q_off, jnp.int32),
+                         jnp.asarray(kv_off, jnp.int32)])
+    dp = _round_up(D, NUM_LANES)
+
+    # dKV pass
+    bq, bk = blocks.block_q_dkv, blocks.block_k_dkv
+    nqp, nkp = _round_up(nq, bq), _round_up(nk, bk)
+    lse_rep = jnp.broadcast_to(
+        _pad_axis(lse, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
+    delta_rep = jnp.broadcast_to(
+        _pad_axis(delta, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
+    dk, dv = flash_bwd.dkv_padded(
+        _pad_axis(_pad_axis(q, 2, nqp), 3, dp),
+        _pad_axis(_pad_axis(k_blk, 2, nkp), 3, dp),
+        _pad_axis(_pad_axis(v_blk, 2, nkp), 3, dp),
+        _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
+        lse_rep, delta_rep, None, offsets,
+        scale=scale, causal=causal, block_q=bq, block_k=bk,
+        kv_valid_len=nk,
+    )
+    dk = dk[:, :, :nk, :D].astype(jnp.float32)
+    dv = dv[:, :, :nk, :D].astype(jnp.float32)
+
+    # dQ pass
+    bq, bk = blocks.block_q_dq, blocks.block_k_dq
+    nqp, nkp = _round_up(nq, bq), _round_up(nk, bk)
+    lse_rep = jnp.broadcast_to(
+        _pad_axis(lse, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
+    delta_rep = jnp.broadcast_to(
+        _pad_axis(delta, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
+    dq, _ = flash_bwd.dq_padded(
+        _pad_axis(_pad_axis(q, 2, nqp), 3, dp),
+        _pad_axis(_pad_axis(k_blk, 2, nkp), 3, dp),
+        _pad_axis(_pad_axis(v_blk, 2, nkp), 3, dp),
+        _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
+        lse_rep, delta_rep, None, offsets,
+        scale=scale, causal=causal, block_q=bq, block_k=bk,
+        kv_valid_len=nk,
+    )
+    dq = dq[:, :, :nq, :D].astype(jnp.float32)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_core(q, k, v, axis_name, n_dev, causal, scale):
+    o, _ = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale)
+    return o
+
+
+def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale):
+    B, H, nq, D = q.shape
+    nk = k.shape[2]
+    idx = jax.lax.axis_index(axis_name)
+    q_off = idx * nq
+    blocks = choose_block_sizes(nq, nk, D, q.dtype)
+
+    o = jnp.zeros((B, H, nq, D), jnp.float32)
+    lse = jnp.full((B, H, nq), -jnp.inf, jnp.float32)
+    k_blk, v_blk = k, v
+    for step in range(n_dev):
+        src = (idx - step) % n_dev
+        kv_off = src * nk
+
+        def compute(o, lse, k_blk=k_blk, v_blk=v_blk, kv_off=kv_off):
+            o_p, lse_p = _partial_fwd(
+                q, k_blk, v_blk, q_off, kv_off,
+                causal=causal, scale=scale, blocks=blocks,
+            )
+            return _merge(o, lse, o_p, lse_p)
+
+        if causal:
+            # Chunks entirely in the causal future contribute nothing: skip.
+            needed = kv_off <= q_off + nq - 1
+            o, lse = jax.lax.cond(
+                needed, compute, lambda o, lse: (o, lse), o, lse
+            )
+        else:
+            o, lse = compute(o, lse)
+
+        if step < n_dev - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
+            v_blk = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+    return o.astype(q.dtype), lse
+
+
+def _ring_core_fwd(q, k, v, axis_name, n_dev, causal, scale):
+    o, lse = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_core_bwd(axis_name, n_dev, causal, scale, residuals, g):
+    q, k, v, o, lse = residuals
+    B, H, nq, D = q.shape
+    nk = k.shape[2]
+    idx = jax.lax.axis_index(axis_name)
+    q_off = idx * nq
+    blocks = choose_block_sizes(nq, nk, D, q.dtype)
+
+    do = g.astype(q.dtype)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )
+
+    dq = jnp.zeros((B, H, nq, D), jnp.float32)
+    dk_acc = jnp.zeros((B, H, nk, D), jnp.float32)
+    dv_acc = jnp.zeros((B, H, nk, D), jnp.float32)
+    k_blk, v_blk = k, v
+    for step in range(n_dev):
+        src = (idx - step) % n_dev
+        kv_off = src * nk
+
+        def compute(dq, dk_acc, dv_acc, k_blk=k_blk, v_blk=v_blk,
+                    kv_off=kv_off):
+            dq_p, dk_p, dv_p = _chunk_grads(
+                q, k_blk, v_blk, do, lse, delta, q_off, kv_off,
+                causal=causal, scale=scale, blocks=blocks,
+            )
+            return dq + dq_p, dk_acc + dk_p, dv_acc + dv_p
+
+        if causal:
+            needed = kv_off <= q_off + nq - 1
+            dq, dk_acc, dv_acc = jax.lax.cond(
+                needed, compute, lambda a, b, c: (a, b, c),
+                dq, dk_acc, dv_acc,
+            )
+        else:
+            dq, dk_acc, dv_acc = compute(dq, dk_acc, dv_acc)
+
+        if step < n_dev - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
+            v_blk = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+        # accumulators travel with their chunk every step, including the
+        # last: after this final rotation each (dK, dV) is home again.
+        dk_acc = jax.lax.ppermute(dk_acc, axis_name, _perm(n_dev))
+        dv_acc = jax.lax.ppermute(dv_acc, axis_name, _perm(n_dev))
+
+    return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+
+
+_ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    axis_size: int,
+    causal: bool = False,
+    scale: float | None = None,
+) -> jax.Array:
+    """Sequence-parallel fused attention (call *inside* ``shard_map``).
+
+    q/k/v: local chunks ``[B, H, N/axis_size, D]``, sequence sharded on
+    ``axis_name``. Differentiable (ring backward). GQA is supported by
+    expanding KV heads to Q heads before the ring.
+    """
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    kdt = _dispatch_dtype(q.dtype)
+    in_dtype = q.dtype
+    H, Hkv = q.shape[1], k.shape[1]
+    if Hkv != H:
+        k = jnp.repeat(k, H // Hkv, axis=1)
+        v = jnp.repeat(v, H // Hkv, axis=1)
+    o = _ring_core(
+        q.astype(kdt), k.astype(kdt), v.astype(kdt),
+        axis_name, int(axis_size), bool(causal), float(scale),
+    )
+    return o.astype(in_dtype)
+
+
+def ring_attention_sharded(
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+    batch_axis: str | None = "data",
+    head_axis: str | None = "model",
+    causal: bool = False,
+    scale: float | None = None,
+):
+    """Jitted global-shape entry point: shards sequence on ``axis`` (plus
+    optional batch/head sharding) and runs :func:`ring_attention` on each
+    shard — 2D/3D parallel attention (heads × sequence × data) in one call.
+    """
+    n = mesh.shape[axis]
+    spec = P(batch_axis, head_axis, axis, None)
+
+    def local(q, k, v):
+        return ring_attention(
+            q, k, v, axis_name=axis, axis_size=n, causal=causal, scale=scale
+        )
+
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    return jax.jit(mapped)

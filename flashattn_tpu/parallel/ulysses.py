@@ -1,0 +1,85 @@
+"""Ulysses-style sequence parallelism: all-to-all (seq ↔ heads) around the
+single-device kernel.
+
+Alternative to ring attention when heads ≥ devices (SURVEY.md §2.5): instead
+of rotating KV, one all-to-all converts sequence-sharded Q/K/V into
+head-sharded full-sequence tensors, the ordinary kernel runs locally with no
+further communication, and a second all-to-all restores sequence sharding.
+``jax.lax.all_to_all`` is linear, so the whole transform is differentiable
+for free — this is the sequence-parallel *training* path of choice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flashattn_tpu.ops.flash import flash_attention
+
+
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    axis_size: int,
+    causal: bool = False,
+    scale: float | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Sequence-parallel attention via all-to-all (call inside ``shard_map``).
+
+    q/k/v: local chunks ``[B, H, N/n, D]`` sharded on ``axis_name``; H must be
+    divisible by the axis size. Returns the local output chunk.
+    """
+    n = axis_size
+    B, H, nq_loc, D = q.shape
+    if H % n != 0:
+        raise ValueError(f"Ulysses needs n_devices | heads: H={H}, n={n}")
+    Hkv = k.shape[1]
+    if Hkv != H and Hkv % n != 0:
+        k = jnp.repeat(k, H // Hkv, axis=1)
+        v = jnp.repeat(v, H // Hkv, axis=1)
+
+    def seq_to_head(x):
+        # [B, H, N/n, D] -> [B, H/n, N, D]
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=1, concat_axis=2, tiled=True
+        )
+
+    def head_to_seq(x):
+        return jax.lax.all_to_all(
+            x, axis_name, split_axis=2, concat_axis=1, tiled=True
+        )
+
+    qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
+    og = flash_attention(
+        qg, kg, vg, causal=causal, scale=scale, bias=bias
+    )
+    return head_to_seq(og)
+
+
+def ulysses_attention_sharded(
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+    batch_axis: str | None = "data",
+    causal: bool = False,
+    scale: float | None = None,
+):
+    """Jitted global-shape entry point for Ulysses SP."""
+    n = mesh.shape[axis]
+    spec = P(batch_axis, None, axis, None)
+
+    def local(q, k, v):
+        return ulysses_attention(
+            q, k, v, axis_name=axis, axis_size=n, causal=causal, scale=scale
+        )
+
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    return jax.jit(mapped)

@@ -1,0 +1,109 @@
+"""Benchmark harness: robust device timing + FLOPs accounting.
+
+Role parity: the reference's per-bench ``count_time`` decorator (10 warmup +
+100 timed rounds around ``torch.cuda.synchronize``, TFLOPS from an explicit
+FLOPs model — bench_with_sdpa.py:14-49, 35-41). On this TPU stack a naive
+sync-per-call measurement is wrong twice over: dispatch is async with a
+~30 ms host↔device round-trip (the axon relay), and ``block_until_ready`` can
+return before execution completes. So we:
+
+  1. chain ``n`` iterations *inside one jit* with a data dependency
+     (output feeds the next input), forcing sequential device execution;
+  2. fetch a scalar from the final output (a real device→host readback);
+  3. measure two chain lengths and difference them, cancelling the fixed
+     per-fetch overhead.
+
+Summary statistics go through the native C++ helper when available
+(csrc/planner.cpp fa_bench_stats), mirroring the reference's native timing
+role.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def time_chained(
+    step: Callable,
+    carry0,
+    *,
+    iters: int = 64,
+    warmup_iters: int = 8,
+    repeats: int = 3,
+) -> float:
+    """Seconds per iteration of ``carry = step(carry)`` on device.
+
+    ``step`` must map a pytree to a like-shaped pytree (data dependency =
+    forced sequential execution). Fixed dispatch/readback overhead is
+    cancelled by differencing a short and a long chain.
+    """
+
+    def chain(carry, n):
+        return jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
+
+    chain_j = jax.jit(chain, static_argnums=1)
+
+    def run(n):
+        out = chain_j(carry0, n)
+        # real device->host readback of one scalar
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        t0 = time.perf_counter()
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        return out
+
+    # compile + warm both chain lengths
+    for n in (warmup_iters, iters):
+        out = chain_j(carry0, n)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))
+
+    best = float("inf")
+    for _ in range(repeats):
+        ts = {}
+        for n in (warmup_iters, iters):
+            t0 = time.perf_counter()
+            out = chain_j(carry0, n)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(jnp.sum(leaf.astype(jnp.float32)))
+            ts[n] = time.perf_counter() - t0
+        per_iter = (ts[iters] - ts[warmup_iters]) / (iters - warmup_iters)
+        best = min(best, per_iter)
+    return max(best, 1e-9)
+
+
+def attention_flops(
+    b: int, h: int, nq: int, nk: int, d: int, *, causal: bool, mode: str
+) -> float:
+    """Reference FLOPs model (bench_with_sdpa.py:35-41, 129-133):
+    ``fpm = 2·B·H·Nq·Nk·D``; fwd = 2·fpm; bwd = 5·fpm; fwd+bwd = 7·fpm;
+    ×0.5 when causal."""
+    fpm = 2.0 * b * h * nq * nk * d
+    mult = {"fwd": 2.0, "bwd": 5.0, "fwd_bwd": 7.0}[mode]
+    f = mult * fpm
+    return f * 0.5 if causal else f
+
+
+def summarize(samples):
+    """Mean/std/min/p50/p90 — native C++ path with Python fallback."""
+    try:
+        from flashattn_tpu.utils import native
+
+        s = native.bench_stats(list(samples))
+        if s is not None:
+            return s
+    except Exception:
+        pass
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    return {
+        "mean": float(arr.mean()),
+        "std": float(arr.std()),
+        "min": float(arr.min()),
+        "p50": float(np.percentile(arr, 50, method="lower")),
+        "p90": float(np.percentile(arr, 90, method="lower")),
+    }

@@ -1,0 +1,125 @@
+"""Model families: transformer LM (train/decode/sharded) and SD-style U-Net.
+
+The reference's model story is "drop the kernel into SD's U-Net and measure
+it/s" (README.md:104-154); here the models are part of the framework and are
+tested end-to-end on CPU (kernels in interpret mode, sharding on the virtual
+8-device mesh).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flashattn_tpu.models.diffusion import euler_sample
+from flashattn_tpu.models.transformer import (
+    TransformerConfig,
+    adamw_init,
+    decode_step,
+    init_kv_cache,
+    init_transformer,
+    lm_loss,
+    make_sharded_train_step,
+    transformer_forward,
+)
+from flashattn_tpu.models.unet import UNetConfig, init_unet, unet_forward
+from flashattn_tpu.parallel import make_mesh
+
+CFG = TransformerConfig(
+    vocab_size=128, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+    d_head=32, d_ff=128, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def lm_params():
+    return init_transformer(jax.random.PRNGKey(0), CFG)
+
+
+def test_transformer_forward_and_loss(lm_params):
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, 128)
+    logits = transformer_forward(lm_params, toks, CFG)
+    assert logits.shape == (2, 64, 128)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    loss = lm_loss(lm_params, toks, CFG)
+    assert 3.0 < float(loss) < 7.0  # ~ln(128) at init
+
+
+def test_decode_matches_forward(lm_params):
+    """KV-cache decode must reproduce teacher-forced logits exactly."""
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 32), 0, 128)
+    logits = transformer_forward(lm_params, toks, CFG)
+    cache = init_kv_cache(CFG, 2, 32)
+    step = jax.jit(lambda c, t: decode_step(lm_params, c, t, CFG))
+    errs = []
+    for t in range(6):
+        lg, cache = step(cache, toks[:, t])
+        errs.append(float(jnp.max(jnp.abs(lg - logits[:, t]))))
+    assert max(errs) < 1e-4, errs
+
+
+def test_sharded_train_step_runs_and_learns(lm_params):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(data=2, model=2, seq=2)
+    step, _, _ = make_sharded_train_step(mesh, CFG, lr=1e-3)
+    opt = adamw_init(lm_params)
+    toks = jax.random.randint(jax.random.PRNGKey(3), (4, 256), 0, 128)
+    params, opt, loss0 = step(lm_params, opt, toks)
+    for _ in range(3):
+        params, opt, loss = step(params, opt, toks)
+    assert float(loss) < float(loss0)  # memorizing one batch
+
+
+def test_sharded_matches_single_device(lm_params):
+    """tp-only sharding must reproduce single-device loss (no seq-shard
+    boundary effects at sp=1)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(data=2, model=2, seq=1)
+    step, _, _ = make_sharded_train_step(mesh, CFG, lr=0.0)
+    opt = adamw_init(lm_params)
+    toks = jax.random.randint(jax.random.PRNGKey(4), (4, 65), 0, 128)
+    _, _, loss = step(lm_params, opt, toks)
+    want = lm_loss(lm_params, toks, CFG)
+    assert abs(float(loss) - float(want)) < 2e-3
+
+
+UCFG = UNetConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def unet_params():
+    return init_unet(jax.random.PRNGKey(0), UCFG)
+
+
+def test_unet_forward(unet_params):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    t = jnp.array([10.0, 500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 32))
+    eps = unet_forward(unet_params, x, t, ctx, UCFG)
+    assert eps.shape == (2, 16, 16, 4)
+    assert bool(jnp.all(jnp.isfinite(eps)))
+
+
+def test_unet_grads_flow(unet_params):
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
+    t = jnp.array([100.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 32))
+    g = jax.grad(
+        lambda p: (unet_forward(p, x, t, ctx, UCFG) ** 2).sum()
+    )(unet_params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    # the transformer's output projection must receive gradient (attention
+    # backward wired through; earlier attn weights are zero at init because
+    # proj_out is zero-initialized, as in SD)
+    gp = g["mid"]["attn"]["proj_out"]["w"]
+    assert float(jnp.max(jnp.abs(gp))) > 0
+
+
+def test_euler_sampler(unet_params):
+    ctx = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 32))
+    x = euler_sample(unet_params, jax.random.PRNGKey(6), ctx, cfg=UCFG,
+                     shape=(1, 16, 16, 4), steps=3)
+    assert x.shape == (1, 16, 16, 4)
+    assert bool(jnp.all(jnp.isfinite(x)))

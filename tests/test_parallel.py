@@ -1,0 +1,127 @@
+"""Distribution layer vs single-device oracle, on an 8-device virtual mesh.
+
+The reference has no multi-device story; the CPU-emulated mesh is this
+build's "fake backend" (SURVEY.md §4). Every sharded path must be numerically
+identical (up to dtype round-off) to the unsharded kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashattn_tpu.ops.oracle import attention_reference
+from flashattn_tpu.parallel import (
+    head_parallel_attention,
+    make_mesh,
+    ring_attention_sharded,
+    ulysses_attention,
+)
+from flashattn_tpu.parallel.ulysses import ulysses_attention_sharded
+from flashattn_tpu.utils.testing import BWD_TOL, FWD_TOL, assert_close, make_qkv
+
+
+def _need8():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+
+
+def test_make_mesh():
+    _need8()
+    mesh = make_mesh(data=2, model=2, seq=2)
+    assert mesh.shape == {"data": 2, "model": 2, "seq": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=4, model=4, seq=4)
+
+
+def test_head_parallel_matches_oracle():
+    _need8()
+    mesh = make_mesh(data=2, model=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(0), 2, 8, 256, 64)
+    fn = head_parallel_attention(mesh, causal=True)
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v, causal=True)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+def test_head_parallel_gqa_replicated_kv():
+    _need8()
+    mesh = make_mesh(model=4)
+    # Hkv=2 does not divide the 4-way axis -> KV replicated, Q sharded
+    q, k, v = make_qkv(jax.random.PRNGKey(1), 1, 8, 128, 64, Hkv=2)
+    fn = head_parallel_attention(mesh, batch_axis=None)
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_oracle(causal):
+    _need8()
+    mesh = make_mesh(seq=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(2), 1, 2, 512, 64)
+    fn = ring_attention_sharded(mesh, causal=causal, batch_axis=None,
+                                head_axis=None)
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v, causal=causal)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+def test_ring_attention_2d_heads_x_seq():
+    _need8()
+    mesh = make_mesh(model=2, seq=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(3), 1, 4, 512, 64)
+    fn = ring_attention_sharded(mesh, causal=True, batch_axis=None)
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v, causal=True)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_grads(causal):
+    _need8()
+    mesh = make_mesh(seq=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(4), 1, 2, 256, 64)
+    fn = ring_attention_sharded(mesh, causal=causal, batch_axis=None,
+                                head_axis=None)
+    got = jax.grad(lambda *a: (fn(*a) ** 2).sum(), (0, 1, 2))(q, k, v)
+    want = jax.grad(
+        lambda *a: (attention_reference(*a, causal=causal) ** 2).sum(),
+        (0, 1, 2),
+    )(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+
+
+def test_ulysses_matches_oracle():
+    _need8()
+    mesh = make_mesh(seq=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(5), 1, 8, 512, 64)
+    fn = ulysses_attention_sharded(mesh, causal=True, batch_axis=None)
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v, causal=True)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+def test_ulysses_grads():
+    _need8()
+    mesh = make_mesh(seq=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(6), 1, 4, 256, 64)
+    fn = ulysses_attention_sharded(mesh, causal=True, batch_axis=None)
+    got = jax.grad(lambda *a: (fn(*a) ** 2).sum(), (0, 1, 2))(q, k, v)
+    want = jax.grad(
+        lambda *a: (attention_reference(*a, causal=True) ** 2).sum(),
+        (0, 1, 2),
+    )(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+
+
+def test_ulysses_rejects_bad_heads():
+    _need8()
+    mesh = make_mesh(seq=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(7), 1, 3, 256, 64)  # 3 heads, 4 dev
+    fn = ulysses_attention_sharded(mesh, batch_axis=None)
+    with pytest.raises(ValueError):
+        fn(q, k, v)
