@@ -1,0 +1,45 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Metric: fused attention forward TFLOP/s at the reference's kernel-bench shape
+class (B=1, H=24, N=4096 — bench_with_sdpa.py:52, 112) with D=128, bf16,
+non-causal. ``vs_baseline`` is the speedup over exact-softmax XLA attention
+(the reference's own primary comparison: its kernel vs the SDPA math backend,
+bench_with_sdpa.py:5-7, 66-69).
+
+FLOPs model: fwd = 2 · (2·B·H·N²·D), the reference's accounting
+(bench_with_sdpa.py:35-41).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from flashattn_tpu import flash_attention
+    from flashattn_tpu.ops.oracle import attention_reference
+    from flashattn_tpu.utils.testing import make_qkv
+    from flashattn_tpu.utils.timing import attention_flops, time_chained
+
+    B, H, N, D = 1, 24, 4096, 128
+    q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=jnp.bfloat16)
+    flops = attention_flops(B, H, N, N, D, causal=False, mode="fwd")
+
+    t_ours = time_chained(lambda qq: flash_attention(qq, k, v), q,
+                          iters=32, warmup_iters=8, repeats=2)
+    t_xla = time_chained(
+        lambda qq: attention_reference(qq, k, v).astype(qq.dtype), q,
+        iters=8, warmup_iters=2, repeats=2)
+
+    tflops = flops / t_ours / 1e12
+    print(json.dumps({
+        "metric": "fused_attn_fwd_bf16_B1H24N4096D128_tflops",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(t_xla / t_ours, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

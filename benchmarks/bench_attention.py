@@ -1,0 +1,112 @@
+"""Attention benchmark sweeps — parity with the reference's bench harnesses.
+
+Mirrors bench_with_sdpa*.py (SURVEY.md §2.2): seqlen sweeps fwd and fwd+bwd,
+head-dim scan at N=4096, causal and BNHD variants, with the reference's FLOPs
+model (bench_with_sdpa.py:35-41). Baselines filling the SDPA/Triton/CK roles:
+
+  * ``xla``  — exact softmax(QKᵀ)V in plain XLA (the "SDPA math backend"),
+  * ``jaxfa`` — jax.experimental.pallas.ops.tpu.flash_attention (the vendor
+    fused-attention baseline, i.e. the reference's Triton/CK role),
+  * ``ours`` — flashattn_tpu.flash_attention.
+
+Each result prints as one JSON line. Run:
+  python benchmarks/bench_attention.py [--quick] [--causal] [--mode fwd|fwd_bwd]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu import flash_attention
+from flashattn_tpu.ops.oracle import attention_reference
+from flashattn_tpu.utils.testing import make_qkv
+from flashattn_tpu.utils.timing import attention_flops, time_chained
+
+
+def xla_sdpa(q, k, v, causal):
+    return attention_reference(q, k, v, causal=causal)
+
+
+def jax_pallas_fa(q, k, v, causal):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as jfa,
+    )
+
+    return jfa(q, k, v, causal=causal)
+
+
+def ours(q, k, v, causal):
+    return flash_attention(q, k, v, causal=causal)
+
+
+IMPLS = {"xla": xla_sdpa, "jaxfa": jax_pallas_fa, "ours": ours}
+
+
+def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
+              iters=32):
+    fn = IMPLS[impl_name]
+    q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
+    if mode == "fwd":
+        step = lambda qq: fn(qq, k, v, causal)
+    else:
+        def step(qq):
+            g = jax.grad(
+                lambda x: fn(x, k, v, causal).astype(jnp.float32).sum()
+            )(qq)
+            return qq + 0.0 * g
+
+    try:
+        t = time_chained(step, q, iters=iters,
+                         warmup_iters=max(2, iters // 4), repeats=2)
+    except Exception as e:  # noqa: BLE001 — record failures, keep sweeping
+        print(json.dumps({"impl": impl_name, "B": B, "H": H, "N": N, "D": D,
+                          "causal": causal, "mode": mode,
+                          "error": type(e).__name__}), flush=True)
+        return None
+    flops = attention_flops(B, H, N, N, D, causal=causal, mode=mode)
+    rec = {
+        "impl": impl_name, "B": B, "H": H, "N": N, "D": D,
+        "causal": causal, "mode": mode, "dtype": str(jnp.dtype(dtype)),
+        "ms": round(t * 1e3, 4), "tflops": round(flops / t / 1e12, 2),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--mode", default="fwd", choices=["fwd", "fwd_bwd"])
+    ap.add_argument("--impls", default="ours,jaxfa,xla")
+    args = ap.parse_args()
+
+    impls = args.impls.split(",")
+    B, H = 1, 24
+    if args.quick:
+        n_sweep, d_sweep = [1024, 4096], [64, 128]
+    else:
+        # reference sweeps: fwd N=512..7168, fwd+bwd N=512..5120
+        # (bench_with_sdpa.py:112, 201); D scan at N=4096 (:259-260)
+        n_sweep = [512, 1024, 2048, 3072, 4096, 5120]
+        if args.mode == "fwd":
+            n_sweep += [6144, 7168]
+        d_sweep = [64, 80, 128, 160, 256]
+
+    for N in n_sweep:
+        for impl in impls:
+            if impl == "xla" and N > 4096:
+                continue  # N² materialization gets slow/huge; matches role
+            bench_one(impl, B, H, N, 64, causal=args.causal, mode=args.mode)
+    for D in d_sweep:
+        for impl in impls:
+            bench_one(impl, B, H, 4096, D, causal=args.causal, mode=args.mode)
+
+
+if __name__ == "__main__":
+    main()

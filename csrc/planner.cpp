@@ -44,13 +44,16 @@ int fa_plan(int nq, int nk, int d, int itemsize, int causal, FaPlan* out) {
   if (nq <= 0 || nk <= 0 || d <= 0 || itemsize <= 0 || out == nullptr)
     return 1;
 
+  // Tuned on TPU v5e (benchmarks/sweep_blocks*.py): fwd (1024,1024); bwd
+  // dkv(1024,512) + dq(512,1024); shrink for D>256 (scoped-VMEM ~16 MB).
+  // Must mirror ops/flash.py::_python_block_policy exactly (test_native.py).
   const bool big_d = d > 256;
-  out->block_q = fit(nq, big_d ? 128 : 256);
-  out->block_k = fit(nk, big_d ? 256 : 512);
-  out->block_q_dkv = fit(nq, 128);
-  out->block_k_dkv = fit(nk, 256);
-  out->block_q_dq = fit(nq, 256);
-  out->block_k_dq = fit(nk, 128);
+  out->block_q = fit(nq, big_d ? 512 : 1024);
+  out->block_k = fit(nk, big_d ? 512 : 1024);
+  out->block_q_dkv = fit(nq, big_d ? 256 : 1024);
+  out->block_k_dkv = fit(nk, big_d ? 256 : 512);
+  out->block_q_dq = fit(nq, big_d ? 256 : 512);
+  out->block_k_dq = fit(nk, big_d ? 256 : 1024);
 
   out->nq_padded = round_up(nq, out->block_q);
   out->nk_padded = round_up(nk, out->block_k);

@@ -69,16 +69,22 @@ def choose_block_sizes(nq: int, nk: int, d: int, dtype) -> BlockSizes:
 
 
 def _python_block_policy(nq: int, nk: int, d: int, itemsize: int) -> BlockSizes:
+    """Tuned on TPU v5e (benchmarks/sweep_blocks*.py, 2026-08): fwd
+    (1024,1024) ≈ 94% of the measured matmul roofline at D=128; bwd best at
+    dkv(1024,512) + dq(512,1024). Large D (>256) shrinks tiles to respect the
+    ~16 MB scoped-VMEM limit ((2048,2048) OOMs at 20.6 MB)."""
+
     def fit(n, pref):
         return max(NUM_LANES, min(pref, _round_up(n, NUM_LANES)))
 
     big_d = d > 256
-    bq = fit(nq, 128 if big_d else 256)
-    bk = fit(nk, 256 if big_d else 512)
     return BlockSizes(
-        block_q=bq, block_k=bk,
-        block_q_dkv=fit(nq, 128), block_k_dkv=fit(nk, 256),
-        block_q_dq=fit(nq, 256), block_k_dq=fit(nk, 128),
+        block_q=fit(nq, 512 if big_d else 1024),
+        block_k=fit(nk, 512 if big_d else 1024),
+        block_q_dkv=fit(nq, 256 if big_d else 1024),
+        block_k_dkv=fit(nk, 256 if big_d else 512),
+        block_q_dq=fit(nq, 256 if big_d else 512),
+        block_k_dq=fit(nk, 256 if big_d else 1024),
     )
 
 

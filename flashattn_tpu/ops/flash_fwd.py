@@ -45,6 +45,8 @@ def _fwd_kernel(
     k_ref,     # VMEM (1, 1, block_k, D)
     v_ref,     # VMEM (1, 1, block_k, D)
     bias_ref,  # VMEM (1, 1, block_q, block_k) or None
+    k_scale_ref,  # VMEM (1, 1, 1, block_k) f32 per-token K scales, or None
+    v_scale_ref,  # VMEM (1, 1, 1, block_k) f32 per-token V scales, or None
     # outputs
     o_ref,     # VMEM (1, 1, block_q, D)
     lse_ref,   # VMEM (1, 1, block_q, NUM_LANES) or None
@@ -87,12 +89,20 @@ def _fwd_kernel(
     def _compute():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
+        if k.dtype in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype):
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         s *= scale
+        if k_scale_ref is not None:
+            # Quantized K: per-token dequant folded as a *column* scaling of
+            # the scores, s_j·(q·k_j) = q·(s_j k_j) — a lane-aligned broadcast
+            # on (bq, bk), so the int8/fp8 payload never round-trips VMEM in
+            # dequantized form (north-star: in-kernel KV dequant).
+            s *= k_scale_ref[0, 0, 0][None, :]
         if bias_ref is not None:
             s += bias_ref[0, 0].astype(jnp.float32)
 
@@ -124,8 +134,15 @@ def _fwd_kernel(
 
         acc_scr[...] *= alpha[:, :1]
         v = v_ref[0, 0]
+        if v_scale_ref is not None:
+            # Quantized V: P @ diag(s_v) @ V_q == (P ∘ s_v[None,:]) @ V_q —
+            # again a lane-aligned column scaling, no V dequant round-trip.
+            p = p * v_scale_ref[0, 0, 0][None, :]
+        mm_dtype = q_ref.dtype if v.dtype in (
+            jnp.int8.dtype, jnp.float8_e4m3fn.dtype) else v.dtype
         acc_scr[...] += jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(mm_dtype), v.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(kv_tile == num_kv_tiles - 1)
@@ -150,6 +167,8 @@ def fwd_padded(
     v: jax.Array,       # [B, Hkv, Nk_pad, Dp]
     bias: jax.Array | None,   # [Bb, Hb, Nq_pad, Nk_pad] (Bb∈{1,B}, Hb∈{1,Hq})
     offsets: jax.Array,       # (2,) int32 [q_offset, kv_offset]
+    k_scale: jax.Array | None = None,  # [B, Hkv, Nk_pad] f32 (quantized KV)
+    v_scale: jax.Array | None = None,  # [B, Hkv, Nk_pad] f32
     *,
     scale: float,
     causal: bool,
@@ -200,6 +219,19 @@ def fwd_padded(
         )
         args.append(bias)
 
+    def scale_index(b, h, i, j):
+        return (b, h // q_hd_ratio, 0, j)
+
+    for sc in (k_scale, v_scale):
+        if sc is not None:
+            # [B, Hkv, Nk] -> [B, Hkv, 1, Nk]: Mosaic needs the block's last
+            # two dims (1, block_k) aligned to (sublane, lane) tiling.
+            in_specs.append(
+                pl.BlockSpec((1, 1, 1, block_k), scale_index,
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(sc[:, :, None, :])
+
     out_shapes = [jax.ShapeDtypeStruct((B, Hq, Nqp, D), q.dtype)]
     out_specs = [
         pl.BlockSpec((1, 1, block_q, D), q_index, memory_space=pltpu.VMEM)
@@ -213,20 +245,28 @@ def fwd_padded(
                          memory_space=pltpu.VMEM)
         )
 
-    # Pallas passes refs positionally; wrap to slot optional bias/lse refs.
+    # Pallas passes refs positionally; wrap to slot optional bias/scale/lse
+    # refs by name.
     has_bias = bias is not None
+    has_ks = k_scale is not None
+    has_vs = v_scale is not None
 
     def kernel_entry(offs, qr, kr, vr, *rest):
         idx = 0
-        bias_r = None
+        bias_r = ks_r = vs_r = None
         if has_bias:
             bias_r = rest[idx]; idx += 1
+        if has_ks:
+            ks_r = rest[idx]; idx += 1
+        if has_vs:
+            vs_r = rest[idx]; idx += 1
         o_r = rest[idx]; idx += 1
         lse_r = rest[idx] if return_lse else None
         idx += 1 if return_lse else 0
         m_scr, l_scr, acc_scr = rest[idx:idx + 3]
         _fwd_kernel(
-            offs, qr, kr, vr, bias_r, o_r, lse_r, m_scr, l_scr, acc_scr,
+            offs, qr, kr, vr, bias_r, ks_r, vs_r, o_r, lse_r,
+            m_scr, l_scr, acc_scr,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             mask_value=DEFAULT_MASK_VALUE,

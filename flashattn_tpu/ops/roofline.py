@@ -1,0 +1,67 @@
+"""MXU peak-FLOPs probe.
+
+Role parity: GPU_peak_perf_test.cu/.py — a register-only WMMA loop measuring
+the machine roofline the attention kernels are judged against (SURVEY.md §5).
+Here: a Pallas kernel chaining MXU matmuls on VMEM-resident tiles (each
+iteration feeds the previous accumulator back into the product so nothing can
+be hoisted), timed with the chained-execution harness.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattn_tpu.utils import platform
+from flashattn_tpu.utils.timing import time_chained
+
+
+def _roofline_kernel(a_ref, b_ref, o_ref, *, iters, size):
+    def body(i, c):
+        # data dependency through c: a' = a + tiny*c cannot be hoisted
+        a = a_ref[...] + (1e-30 * c).astype(a_ref.dtype)
+        return jax.lax.dot(a, b_ref[...], preferred_element_type=jnp.float32)
+
+    c0 = jnp.zeros((size, size), jnp.float32)
+    o_ref[...] = jax.lax.fori_loop(0, iters, body, c0).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "size", "interpret"))
+def _roofline_call(a, b, *, iters, size, interpret):
+    return pl.pallas_call(
+        functools.partial(_roofline_kernel, iters=iters, size=size),
+        out_shape=jax.ShapeDtypeStruct((size, size), a.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * size * size * size * iters,
+            bytes_accessed=3 * size * size * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b)
+
+
+def measure_mxu_peak_tflops(
+    *, size: int = 512, iters: int = 256, dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> float:
+    """Measured MXU TFLOP/s upper bound on this chip (bf16 by default)."""
+    if interpret is None:
+        interpret = platform.pallas_interpret_default()
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (size, size), jnp.float32).astype(dtype)
+    b = jax.random.normal(key, (size, size), jnp.float32).astype(dtype)
+
+    def step(carry):
+        out = _roofline_call(carry, b, iters=iters, size=size,
+                             interpret=interpret)
+        return out.astype(dtype)
+
+    t = time_chained(step, a, iters=8, warmup_iters=2, repeats=2)
+    flops = 2.0 * size ** 3 * iters
+    return flops / t / 1e12

@@ -55,24 +55,33 @@ def time_chained(
         float(jnp.sum(leaf.astype(jnp.float32)))
         return out
 
-    # compile + warm both chain lengths
-    for n in (warmup_iters, iters):
+    def fetch(n):
         out = chain_j(carry0, n)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf.astype(jnp.float32)))
 
-    best = float("inf")
-    for _ in range(repeats):
-        ts = {}
-        for n in (warmup_iters, iters):
+    def measure(n_short, n_long):
+        fetch(n_short)
+        fetch(n_long)  # compile + warm both chain lengths
+        best = float("inf")
+        for _ in range(repeats):
             t0 = time.perf_counter()
-            out = chain_j(carry0, n)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            float(jnp.sum(leaf.astype(jnp.float32)))
-            ts[n] = time.perf_counter() - t0
-        per_iter = (ts[iters] - ts[warmup_iters]) / (iters - warmup_iters)
-        best = min(best, per_iter)
-    return max(best, 1e-9)
+            fetch(n_short)
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fetch(n_long)
+            t_long = time.perf_counter() - t0
+            best = min(best, (t_long - t_short) / (n_long - n_short))
+        return best
+
+    per_iter = measure(warmup_iters, iters)
+    # Small workloads can measure at relay-noise level (the differenced time
+    # is ~0); escalate the chain length until the signal dominates.
+    n_short, n_long = warmup_iters, iters
+    while per_iter * (n_long - n_short) < 20e-3 and n_long < 4096:
+        n_short, n_long = n_long, n_long * 4
+        per_iter = measure(n_short, n_long)
+    return max(per_iter, 1e-9)
 
 
 def attention_flops(
