@@ -18,6 +18,10 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -55,10 +59,16 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
         step = lambda qq: fn(qq, k, v, causal)
     else:
         def step(qq):
-            g = jax.grad(
-                lambda x: fn(x, k, v, causal).astype(jnp.float32).sum()
-            )(qq)
-            return qq + 0.0 * g
+            # grads w.r.t. ALL of q,k,v — grad over q alone lets XLA
+            # dead-code-eliminate the dK/dV kernel entirely.
+            dq, dk, dv = jax.grad(
+                lambda x, kk, vv: fn(x, kk, vv, causal)
+                .astype(jnp.float32).sum(),
+                argnums=(0, 1, 2),
+            )(qq, k, v)
+            return qq + 0.0 * dq + (0.0 * (dk.astype(jnp.float32).sum()
+                                           + dv.astype(jnp.float32).sum())
+                                    ).astype(qq.dtype)
 
     try:
         t = time_chained(step, q, iters=iters,

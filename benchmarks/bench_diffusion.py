@@ -1,0 +1,113 @@
+"""Stable-Diffusion end-to-end it/s benchmark — the reference's headline metric.
+
+Parity target: the reference's ComfyUI tables (README.md:104-154, rows in
+BASELINE.md): SD1.5 at 512²×1, 512²×4, 1024²×1 and SDXL at 1024²×1, each as
+it/s (one "it" = one U-Net denoise step, Euler sampler) for the fused engine
+vs exact-softmax XLA attention (the "PyTorch SDPA math backend" role), plus
+peak device memory per step (the VRAM columns) from XLA's compiled memory
+analysis.
+
+Run (on TPU):  python benchmarks/bench_diffusion.py [--quick]
+Each result prints as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from flashattn_tpu.models.unet import UNetConfig, init_unet, unet_forward
+from flashattn_tpu.utils.timing import time_chained
+
+
+# (name, cfg-factory, latent HW, batch) — latent = pixel/8 (SD VAE factor)
+WORKLOADS = [
+    ("sd15_512x512_b1", UNetConfig.sd15, 64, 1),
+    ("sd15_512x512_b4", UNetConfig.sd15, 64, 4),
+    ("sd15_1024x1024_b1", UNetConfig.sd15, 128, 1),
+    ("sdxl_1024x1024_b1", UNetConfig.sdxl, 128, 1),
+]
+
+
+def build_step(params, cfg, latent_hw, batch, attn_impl):
+    """One Euler denoise step at a fixed mid-schedule sigma, as a chainable
+    latent→latent map (matches ComfyUI's per-step work: one U-Net eval)."""
+    ctx_len = 77
+    context = jax.random.normal(
+        jax.random.PRNGKey(2), (batch, ctx_len, cfg.context_dim), jnp.float32)
+    sigma, sigma_next = 5.0, 4.5
+    c_in = (sigma**2 + 1.0) ** -0.5
+    t = jnp.full((batch,), 500.0)
+
+    def step(x):
+        eps = unet_forward(params, x * c_in, t, context, cfg,
+                           attn_impl=attn_impl)
+        return x + (sigma_next - sigma) * eps.astype(x.dtype)
+
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, latent_hw, latent_hw, cfg.in_channels),
+        jnp.float32) * sigma
+    return step, x0
+
+
+def peak_memory_bytes(step, x0):
+    """Peak device memory of the compiled step (the VRAM-column analogue)."""
+    try:
+        compiled = jax.jit(step).lower(x0).compile()
+        ma = compiled.memory_analysis()
+        return int(ma.temp_size_in_bytes + ma.argument_size_in_bytes +
+                   ma.output_size_in_bytes)
+    except Exception:
+        return None
+
+
+def bench_one(name, cfg_factory, latent_hw, batch, impls, iters):
+    cfg = cfg_factory()
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    results = {}
+    for impl in impls:
+        step, x0 = build_step(params, cfg, latent_hw, batch, impl)
+        mem = peak_memory_bytes(step, x0)
+        try:
+            t = time_chained(step, x0, iters=iters,
+                             warmup_iters=max(2, iters // 4), repeats=2)
+        except Exception as e:  # noqa: BLE001 — OOM on xla@1024² is a result
+            print(json.dumps({"workload": name, "impl": impl,
+                              "error": type(e).__name__}), flush=True)
+            continue
+        rec = {
+            "workload": name, "impl": impl,
+            "it_per_s": round(1.0 / t, 3), "ms_per_it": round(t * 1e3, 2),
+            "peak_mem_gb": round(mem / 2**30, 3) if mem else None,
+        }
+        results[impl] = rec
+        print(json.dumps(rec), flush=True)
+    if "fused" in results and "xla" in results:
+        up = results["xla"]["ms_per_it"] / results["fused"]["ms_per_it"] - 1.0
+        print(json.dumps({"workload": name,
+                          "fused_vs_xla_uplift_pct": round(100 * up, 1)}),
+              flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--impls", default="fused,xla")
+    ap.add_argument("--iters", type=int, default=12)
+    args = ap.parse_args()
+    impls = args.impls.split(",")
+    loads = WORKLOADS[:1] if args.quick else WORKLOADS
+    for name, cfg_factory, hw, batch in loads:
+        bench_one(name, cfg_factory, hw, batch, impls, args.iters)
+
+
+if __name__ == "__main__":
+    main()

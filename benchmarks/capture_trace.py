@@ -1,0 +1,49 @@
+"""Profiler capture script — parity with the reference's RGP_Capture.py.
+
+Runs single fused-attention fwd/bwd invocations under the JAX profiler and
+writes a Perfetto/TensorBoard trace plus the lowered compiler IR.
+
+  python benchmarks/capture_trace.py [--out /tmp/flashattn_tpu_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/flashattn_tpu_trace")
+    ap.add_argument("--N", type=int, default=4096)
+    ap.add_argument("--D", type=int, default=128)
+    ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--no-bwd", action="store_true")
+    args = ap.parse_args()
+
+    from flashattn_tpu import flash_attention
+    from flashattn_tpu.utils import profiling
+    from flashattn_tpu.utils.testing import make_qkv
+
+    out = profiling.capture_attention_trace(
+        args.out, N=args.N, D=args.D, causal=args.causal,
+        with_bwd=not args.no_bwd,
+    )
+    print(f"trace written to {out}")
+
+    q, k, v = make_qkv(jax.random.PRNGKey(0), 1, 24, args.N, args.D,
+                       dtype=jnp.bfloat16)
+    paths = profiling.dump_kernel_ir(
+        lambda q, k, v: flash_attention(q, k, v, causal=args.causal),
+        q, k, v, out_dir=os.path.join(out, "ir"), name="flash_fwd")
+    print(f"IR written: {paths}")
+
+
+if __name__ == "__main__":
+    main()

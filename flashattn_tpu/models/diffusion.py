@@ -30,10 +30,10 @@ def sigma_to_t(sigma):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "steps", "interpret", "shape")
+    jax.jit, static_argnames=("cfg", "steps", "interpret", "shape", "attn_impl")
 )
 def euler_sample(params, key, context, *, cfg: UNetConfig, shape,
-                 steps: int = 20, interpret=None):
+                 steps: int = 20, interpret=None, attn_impl="fused"):
     """Euler sampling: returns the final latent [B, H, W, C].
 
     eps-prediction model: dx/dσ = (x − denoised)/σ with
@@ -47,7 +47,7 @@ def euler_sample(params, key, context, *, cfg: UNetConfig, shape,
         c_in = jax.lax.rsqrt(sigma ** 2 + 1.0)
         t = jnp.broadcast_to(sigma_to_t(sigma), (shape[0],))
         eps = unet_forward(params, x * c_in, t, context, cfg,
-                           interpret=interpret)
+                           interpret=interpret, attn_impl=attn_impl)
         d = eps  # eps-pred: dx/dsigma
         return x + (sigma_next - sigma) * d, None
 

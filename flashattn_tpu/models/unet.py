@@ -33,8 +33,11 @@ class UNetConfig:
     channel_mult: Sequence[int] = (1, 2, 4)
     num_res_blocks: int = 2
     attn_levels: Sequence[int] = (0, 1, 2)   # levels with transformer blocks
-    transformer_depth: int = 1
+    # int = uniform; or one entry per level (SDXL uses (1, 2, 10))
+    transformer_depth: int | Sequence[int] = 1
     num_heads: int = 8
+    # if set, heads are computed as C // head_dim per level (SDXL: 64)
+    head_dim: int | None = None
     context_dim: int = 768
     groups: int = 32
     dtype: Any = jnp.bfloat16
@@ -42,10 +45,30 @@ class UNetConfig:
     # gradient-flow tests (at zero-init, upstream grads are exactly zero).
     zero_init: bool = True
 
+    def depth_at(self, level: int) -> int:
+        d = self.transformer_depth
+        return d if isinstance(d, int) else d[level]
+
+    def heads_for(self, channels: int) -> int:
+        if self.head_dim is not None:
+            assert channels % self.head_dim == 0, (channels, self.head_dim)
+            return channels // self.head_dim
+        return self.num_heads
+
     @staticmethod
     def sd15():
         """SD1.5 U-Net shape class (README.md:114-123 workload)."""
         return UNetConfig()
+
+    @staticmethod
+    def sdxl():
+        """SDXL-base U-Net shape class (README.md:126-132 workload):
+        attention only at the 2× and 4× levels, per-level transformer depth
+        (1, 2, 10), fixed 64-dim heads, 2048-dim text conditioning."""
+        return UNetConfig(
+            channel_mult=(1, 2, 4), attn_levels=(1, 2),
+            transformer_depth=(1, 2, 10), head_dim=64, context_dim=2048,
+        )
 
     @staticmethod
     def tiny():
@@ -199,7 +222,7 @@ def init_unet(key, cfg: UNetConfig):
             blk = {"res": _init_resblock(nk(), ch, cout, temb_dim, cfg.dtype, cfg.zero_init)}
             if level in cfg.attn_levels:
                 blk["attn"] = _init_spatial_transformer(
-                    nk(), cout, cfg.num_heads, cfg.transformer_depth,
+                    nk(), cout, cfg.heads_for(cout), cfg.depth_at(level),
                     cfg.context_dim, cfg.dtype, cfg.zero_init)
             blocks.append(blk)
             ch = cout
@@ -211,10 +234,11 @@ def init_unet(key, cfg: UNetConfig):
         downs.append(down)
     params["downs"] = downs
 
+    mid_depth = cfg.depth_at(len(cfg.channel_mult) - 1)
     params["mid"] = {
         "res1": _init_resblock(nk(), ch, ch, temb_dim, cfg.dtype, cfg.zero_init),
         "attn": _init_spatial_transformer(
-            nk(), ch, cfg.num_heads, cfg.transformer_depth,
+            nk(), ch, cfg.heads_for(ch), mid_depth,
             cfg.context_dim, cfg.dtype, cfg.zero_init),
         "res2": _init_resblock(nk(), ch, ch, temb_dim, cfg.dtype, cfg.zero_init),
     }
@@ -229,7 +253,7 @@ def init_unet(key, cfg: UNetConfig):
                                          cfg.dtype, cfg.zero_init)}
             if level in cfg.attn_levels:
                 blk["attn"] = _init_spatial_transformer(
-                    nk(), cout, cfg.num_heads, cfg.transformer_depth,
+                    nk(), cout, cfg.heads_for(cout), cfg.depth_at(level),
                     cfg.context_dim, cfg.dtype, cfg.zero_init)
             blocks.append(blk)
             ch = cout
@@ -258,22 +282,35 @@ def _resblock(p, x, temb, groups):
     return skip + h
 
 
-def _mha(p, x, ctx, heads, interpret):
-    """x [B, N, C] (queries), ctx [B, M, Cctx] (keys/values)."""
+def _mha(p, x, ctx, heads, interpret, attn_impl="fused"):
+    """x [B, N, C] (queries), ctx [B, M, Cctx] (keys/values).
+
+    ``attn_impl``: "fused" routes through the Pallas engine; "xla" computes
+    exact unfused softmax attention — the bench baseline playing the
+    reference's "PyTorch SDPA math backend" role (BASELINE.md SD rows).
+    """
     B, N, C = x.shape
     d = C // heads
     q = _dense(p["wq"], x).reshape(B, N, heads, d)
     k = _dense(p["wk"], ctx).reshape(B, ctx.shape[1], heads, d)
     v = _dense(p["wv"], ctx).reshape(B, ctx.shape[1], heads, d)
-    o = scaled_dot_product_attention(q, k, v, layout="BNHD",
-                                     interpret=interpret)
+    if attn_impl == "xla":
+        from flashattn_tpu.ops.oracle import attention_reference
+
+        o = attention_reference(
+            q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2)
+        ).swapaxes(1, 2)
+    else:
+        o = scaled_dot_product_attention(q, k, v, layout="BNHD",
+                                         interpret=interpret)
     return _dense(p["wo"], o.reshape(B, N, C))
 
 
-def _tblock(p, x, ctx, heads, interpret):
+def _tblock(p, x, ctx, heads, interpret, attn_impl):
     x = x + _mha(p["attn1"], _layer_norm(x, p["ln1"]), _layer_norm(x, p["ln1"]),
-                 heads, interpret)
-    x = x + _mha(p["attn2"], _layer_norm(x, p["ln2"]), ctx, heads, interpret)
+                 heads, interpret, attn_impl)
+    x = x + _mha(p["attn2"], _layer_norm(x, p["ln2"]), ctx, heads, interpret,
+                 attn_impl)
     h = _dense(p["ff_in"], _layer_norm(x, p["ln3"]))
     a, g = jnp.split(h, 2, axis=-1)
     x = x + _dense(p["ff_out"], a * jax.nn.gelu(g.astype(jnp.float32))
@@ -281,17 +318,19 @@ def _tblock(p, x, ctx, heads, interpret):
     return x
 
 
-def _spatial_transformer(p, x, ctx, heads, groups, interpret):
+def _spatial_transformer(p, x, ctx, cfg, interpret, attn_impl):
     B, H, W, C = x.shape
-    h = _group_norm(x, p["norm"], groups)
+    heads = cfg.heads_for(C)
+    h = _group_norm(x, p["norm"], cfg.groups)
     h = _dense(p["proj_in"], h.reshape(B, H * W, C))
     for blk in p["blocks"]:
-        h = _tblock(blk, h, ctx, heads, interpret)
+        h = _tblock(blk, h, ctx, heads, interpret, attn_impl)
     h = _dense(p["proj_out"], h).reshape(B, H, W, C)
     return x + h
 
 
-def unet_forward(params, x, t, context, cfg: UNetConfig, *, interpret=None):
+def unet_forward(params, x, t, context, cfg: UNetConfig, *, interpret=None,
+                 attn_impl="fused"):
     """Denoise step: latents ``x [B,H,W,Cin]``, timesteps ``t [B]``,
     text conditioning ``context [B, M, ctx_dim]`` → ``eps [B,H,W,Cout]``."""
     temb = timestep_embedding(t, cfg.model_channels)
@@ -308,16 +347,16 @@ def unet_forward(params, x, t, context, cfg: UNetConfig, *, interpret=None):
         for blk in down["blocks"]:
             h = _resblock(blk["res"], h, temb, cfg.groups)
             if "attn" in blk:
-                h = _spatial_transformer(blk["attn"], h, context,
-                                         cfg.num_heads, cfg.groups, interpret)
+                h = _spatial_transformer(blk["attn"], h, context, cfg,
+                                         interpret, attn_impl)
             skips.append(h)
         if "downsample" in down:
             h = _conv(down["downsample"], h, stride=2)
             skips.append(h)
 
     h = _resblock(params["mid"]["res1"], h, temb, cfg.groups)
-    h = _spatial_transformer(params["mid"]["attn"], h, context,
-                             cfg.num_heads, cfg.groups, interpret)
+    h = _spatial_transformer(params["mid"]["attn"], h, context, cfg,
+                             interpret, attn_impl)
     h = _resblock(params["mid"]["res2"], h, temb, cfg.groups)
 
     for up in params["ups"]:
@@ -325,8 +364,8 @@ def unet_forward(params, x, t, context, cfg: UNetConfig, *, interpret=None):
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = _resblock(blk["res"], h, temb, cfg.groups)
             if "attn" in blk:
-                h = _spatial_transformer(blk["attn"], h, context,
-                                         cfg.num_heads, cfg.groups, interpret)
+                h = _spatial_transformer(blk["attn"], h, context, cfg,
+                                         interpret, attn_impl)
         if "upsample" in up:
             B, H, W, C = h.shape
             h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")

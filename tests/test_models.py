@@ -123,3 +123,39 @@ def test_euler_sampler(unet_params):
                      shape=(1, 16, 16, 4), steps=3)
     assert x.shape == (1, 16, 16, 4)
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_unet_attn_impl_equivalence(unet_params):
+    """The fused engine and exact-XLA attention must agree through the whole
+    U-Net (the SD bench's two arms compute the same function)."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 16, 16, 4))
+    t = jnp.array([250.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(8), (1, 8, 32))
+    o_fused = unet_forward(unet_params, x, t, ctx, UCFG)
+    o_xla = unet_forward(unet_params, x, t, ctx, UCFG, attn_impl="xla")
+    assert float(jnp.max(jnp.abs(o_fused - o_xla))) < 5e-2
+
+
+def test_sdxl_shape_class():
+    """SDXL config: per-level transformer depth, head_dim-derived heads,
+    attention only at levels 1-2 (BASELINE.md SDXL rows)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        UNetConfig.sdxl(), model_channels=64, context_dim=64,
+        transformer_depth=(1, 1, 2), groups=8, zero_init=False,
+        dtype=jnp.float32,
+    )
+    assert cfg.heads_for(128) == 2 and cfg.heads_for(256) == 4
+    assert cfg.depth_at(2) == 2
+    params = init_unet(jax.random.PRNGKey(0), cfg)
+    # level 0 has no attention; level 1 does
+    assert "attn" not in params["downs"][0]["blocks"][0]
+    assert "attn" in params["downs"][1]["blocks"][0]
+    assert len(params["mid"]["attn"]["blocks"]) == 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+    eps = unet_forward(params, x, jnp.array([100.0]),
+                       jax.random.normal(jax.random.PRNGKey(2), (1, 8, 64)),
+                       cfg)
+    assert eps.shape == (1, 16, 16, 4)
+    assert bool(jnp.all(jnp.isfinite(eps)))
