@@ -15,6 +15,10 @@ import json
 import jax
 import jax.numpy as jnp
 
+from flashattn_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     from flashattn_tpu import flash_attention
@@ -26,11 +30,11 @@ def main():
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=jnp.bfloat16)
     flops = attention_flops(B, H, N, N, D, causal=False, mode="fwd")
 
-    t_ours = time_chained(lambda qq: flash_attention(qq, k, v), q,
-                          iters=32, warmup_iters=8, repeats=2)
+    t_ours = time_chained(lambda qq, k, v: flash_attention(qq, k, v), q,
+                          consts=(k, v), iters=32, warmup_iters=8, repeats=2)
     t_xla = time_chained(
-        lambda qq: attention_reference(qq, k, v).astype(qq.dtype), q,
-        iters=8, warmup_iters=2, repeats=2)
+        lambda qq, k, v: attention_reference(qq, k, v).astype(qq.dtype), q,
+        consts=(k, v), iters=8, warmup_iters=2, repeats=2)
 
     tflops = flops / t_ours / 1e12
     print(json.dumps({

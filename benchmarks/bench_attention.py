@@ -26,43 +26,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from flashattn_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 from flashattn_tpu import flash_attention
 from flashattn_tpu.ops.oracle import attention_reference
 from flashattn_tpu.utils.testing import make_qkv
 from flashattn_tpu.utils.timing import attention_flops, time_chained
 
 
-def xla_sdpa(q, k, v, causal):
+def xla_sdpa(q, k, v, causal, layout="BHND"):
+    if layout == "BNHD":  # pays the rearrange, like SDPA in the BNHD benches
+        q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
+        return attention_reference(q, k, v, causal=causal).swapaxes(1, 2)
     return attention_reference(q, k, v, causal=causal)
 
 
-def jax_pallas_fa(q, k, v, causal):
+def jax_pallas_fa(q, k, v, causal, layout="BHND"):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention as jfa,
     )
 
+    if layout == "BNHD":
+        q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
+        return jfa(q, k, v, causal=causal).swapaxes(1, 2)
     return jfa(q, k, v, causal=causal)
 
 
-def ours(q, k, v, causal):
-    return flash_attention(q, k, v, causal=causal)
+def ours(q, k, v, causal, layout="BHND"):
+    return flash_attention(q, k, v, causal=causal, layout=layout)
 
 
 IMPLS = {"xla": xla_sdpa, "jaxfa": jax_pallas_fa, "ours": ours}
 
 
 def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
-              iters=32):
+              iters=32, layout="BHND"):
     fn = IMPLS[impl_name]
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
+    if layout == "BNHD":  # arrays physically stored [B, N, H, D]
+        q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
     if mode == "fwd":
-        step = lambda qq: fn(qq, k, v, causal)
+        step = lambda qq, k, v: fn(qq, k, v, causal, layout)
     else:
-        def step(qq):
+        def step(qq, k, v):
             # grads w.r.t. ALL of q,k,v — grad over q alone lets XLA
             # dead-code-eliminate the dK/dV kernel entirely.
             dq, dk, dv = jax.grad(
-                lambda x, kk, vv: fn(x, kk, vv, causal)
+                lambda x, kk, vv: fn(x, kk, vv, causal, layout)
                 .astype(jnp.float32).sum(),
                 argnums=(0, 1, 2),
             )(qq, k, v)
@@ -71,7 +83,7 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
                                     ).astype(qq.dtype)
 
     try:
-        t = time_chained(step, q, iters=iters,
+        t = time_chained(step, q, consts=(k, v), iters=iters,
                          warmup_iters=max(2, iters // 4), repeats=2)
     except Exception as e:  # noqa: BLE001 — record failures, keep sweeping
         print(json.dumps({"impl": impl_name, "B": B, "H": H, "N": N, "D": D,
@@ -82,6 +94,7 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
     rec = {
         "impl": impl_name, "B": B, "H": H, "N": N, "D": D,
         "causal": causal, "mode": mode, "dtype": str(jnp.dtype(dtype)),
+        "layout": layout,
         "ms": round(t * 1e3, 4), "tflops": round(flops / t / 1e12, 2),
     }
     print(json.dumps(rec), flush=True)
@@ -94,9 +107,16 @@ def main():
     ap.add_argument("--causal", action="store_true")
     ap.add_argument("--mode", default="fwd", choices=["fwd", "fwd_bwd"])
     ap.add_argument("--impls", default="ours,jaxfa,xla")
+    ap.add_argument("--layout", default="BHND", choices=["BHND", "BNHD"])
+    ap.add_argument("--unaligned", action="store_true",
+                    help="non-tile-aligned seqlens (the reference's "
+                         "unaligned-N graphs, README.md:72-102)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "float16"])
     args = ap.parse_args()
 
     impls = args.impls.split(",")
+    dtype = jnp.dtype(args.dtype)
     B, H = 1, 24
     if args.quick:
         n_sweep, d_sweep = [1024, 4096], [64, 128]
@@ -107,15 +127,21 @@ def main():
         if args.mode == "fwd":
             n_sweep += [6144, 7168]
         d_sweep = [64, 80, 128, 160, 256]
+    if args.unaligned:
+        # precision_test.py-class shapes: N 1 off a tile, odd D
+        n_sweep = [n + 1 for n in n_sweep]
+        d_sweep = [d - 17 for d in d_sweep]
 
     for N in n_sweep:
         for impl in impls:
             if impl == "xla" and N > 4096:
                 continue  # N² materialization gets slow/huge; matches role
-            bench_one(impl, B, H, N, 64, causal=args.causal, mode=args.mode)
+            bench_one(impl, B, H, N, 64, causal=args.causal, mode=args.mode,
+                      layout=args.layout, dtype=dtype)
     for D in d_sweep:
         for impl in impls:
-            bench_one(impl, B, H, 4096, D, causal=args.causal, mode=args.mode)
+            bench_one(impl, B, H, 4096, D, causal=args.causal, mode=args.mode,
+                      layout=args.layout, dtype=dtype)
 
 
 if __name__ == "__main__":

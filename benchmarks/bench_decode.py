@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from flashattn_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 from flashattn_tpu import flash_attention
 from flashattn_tpu.models.transformer import (
     TransformerConfig, decode_step, init_kv_cache, init_transformer,
@@ -34,20 +38,21 @@ from flashattn_tpu.utils.timing import time_chained
 
 
 def bench_decode_tokens_per_s(cfg, batch, cache_len, iters):
-    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    params = jax.jit(lambda k: init_transformer(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
     cache = init_kv_cache(cfg, batch, cache_len)
     # pre-fill half the cache so attention reads a realistic prefix
     cache["length"] = jnp.asarray(cache_len // 2, jnp.int32)
     tok0 = jnp.zeros((batch,), jnp.int32)
 
-    def step(carry):
+    def step(carry, params):
         tok, cache = carry
         logits, cache = decode_step(params, cache, tok, cfg)
         # keep cache length fixed so the chained iterations are homogeneous
         cache = dict(cache, length=cache["length"] - 1)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
-    t = time_chained(step, (tok0, cache), iters=iters,
+    t = time_chained(step, (tok0, cache), consts=(params,), iters=iters,
                      warmup_iters=max(2, iters // 4), repeats=2)
     rec = {
         "bench": "decode", "batch": batch, "cache_len": cache_len,
@@ -66,13 +71,15 @@ def bench_quantized_attn(B, H, nk, D, iters, kv_dtype):
     v = jax.random.normal(kv2, (B, H, nk, D), jnp.bfloat16)
 
     if kv_dtype == "bf16":
-        step = lambda qq: qq + 0.0 * flash_attention(qq, k, v)
+        step = lambda qq, k, v: qq + 0.0 * flash_attention(qq, k, v)
+        consts = (k, v)
     else:
         qkv = quantize_kv(k, v, jnp.int8 if kv_dtype == "int8"
                           else jnp.float8_e4m3fn)
-        step = lambda qq: qq + 0.0 * flash_attention_quantized(qq, qkv)
+        step = lambda qq, qkv: qq + 0.0 * flash_attention_quantized(qq, qkv)
+        consts = (qkv,)
 
-    t = time_chained(step, q, iters=iters,
+    t = time_chained(step, q, consts=consts, iters=iters,
                      warmup_iters=max(2, iters // 4), repeats=2)
     kv_bytes = 2 * B * H * nk * D * (2 if kv_dtype == "bf16" else 1)
     rec = {

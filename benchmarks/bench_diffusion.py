@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from flashattn_tpu.models.unet import UNetConfig, init_unet, unet_forward
+from flashattn_tpu.utils.platform import enable_compilation_cache
 from flashattn_tpu.utils.timing import time_chained
+
+enable_compilation_cache()
 
 
 # (name, cfg-factory, latent HW, batch) — latent = pixel/8 (SD VAE factor)
@@ -46,7 +49,10 @@ def build_step(params, cfg, latent_hw, batch, attn_impl):
     c_in = (sigma**2 + 1.0) ** -0.5
     t = jnp.full((batch,), 500.0)
 
-    def step(x):
+    # params/context are jit ARGUMENTS (consts), never closure constants:
+    # closure arrays are embedded into the serialized program, which on a
+    # tunneled TPU re-uploads ~GBs of weights per compile.
+    def step(x, params, context):
         eps = unet_forward(params, x * c_in, t, context, cfg,
                            attn_impl=attn_impl)
         return x + (sigma_next - sigma) * eps.astype(x.dtype)
@@ -54,13 +60,13 @@ def build_step(params, cfg, latent_hw, batch, attn_impl):
     x0 = jax.random.normal(
         jax.random.PRNGKey(1), (batch, latent_hw, latent_hw, cfg.in_channels),
         jnp.float32) * sigma
-    return step, x0
+    return step, x0, context
 
 
-def peak_memory_bytes(step, x0):
+def peak_memory_bytes(step, x0, *consts):
     """Peak device memory of the compiled step (the VRAM-column analogue)."""
     try:
-        compiled = jax.jit(step).lower(x0).compile()
+        compiled = jax.jit(step).lower(x0, *consts).compile()
         ma = compiled.memory_analysis()
         return int(ma.temp_size_in_bytes + ma.argument_size_in_bytes +
                    ma.output_size_in_bytes)
@@ -70,13 +76,18 @@ def peak_memory_bytes(step, x0):
 
 def bench_one(name, cfg_factory, latent_hw, batch, impls, iters):
     cfg = cfg_factory()
-    params = init_unet(jax.random.PRNGKey(0), cfg)
+    # jit the whole init: eager per-param dispatch costs a tunnel round-trip
+    # per op on remote-TPU backends (minutes for SD-sized nets)
+    params = jax.jit(lambda k: init_unet(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(json.dumps({"workload": name, "status": "params_ready"}),
+          flush=True)
     results = {}
     for impl in impls:
-        step, x0 = build_step(params, cfg, latent_hw, batch, impl)
-        mem = peak_memory_bytes(step, x0)
+        step, x0, context = build_step(params, cfg, latent_hw, batch, impl)
+        mem = peak_memory_bytes(step, x0, params, context)
         try:
-            t = time_chained(step, x0, iters=iters,
+            t = time_chained(step, x0, consts=(params, context), iters=iters,
                              warmup_iters=max(2, iters // 4), repeats=2)
         except Exception as e:  # noqa: BLE001 — OOM on xla@1024² is a result
             print(json.dumps({"workload": name, "impl": impl,

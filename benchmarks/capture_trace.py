@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from flashattn_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -57,11 +57,11 @@ def measure_mxu_peak_tflops(
     a = jax.random.normal(key, (size, size), jnp.float32).astype(dtype)
     b = jax.random.normal(key, (size, size), jnp.float32).astype(dtype)
 
-    def step(carry):
+    def step(carry, b):
         out = _roofline_call(carry, b, iters=iters, size=size,
                              interpret=interpret)
         return out.astype(dtype)
 
-    t = time_chained(step, a, iters=8, warmup_iters=2, repeats=2)
+    t = time_chained(step, a, consts=(b,), iters=8, warmup_iters=2, repeats=2)
     flops = 2.0 * size ** 3 * iters
     return flops / t / 1e12

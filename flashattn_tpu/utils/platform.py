@@ -38,3 +38,30 @@ def pallas_interpret_default() -> bool:
 
 def num_devices() -> int:
     return jax.device_count()
+
+
+def enable_compilation_cache(
+    cache_dir: str | None = None, *, min_compile_secs: float = 1.0
+) -> str | None:
+    """Enable JAX's persistent compilation cache (XLA binaries cached on
+    disk across processes). Called by every bench/driver entry point: the
+    remote-compile RPC on tunneled TPU backends costs tens of seconds per
+    program, and benches re-run the same programs every round.
+
+    Must run before the first compilation. Returns the cache dir, or None if
+    the config is unavailable.
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "FLASHATTN_TPU_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        return None
+    return cache_dir

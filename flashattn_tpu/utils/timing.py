@@ -31,32 +31,31 @@ def time_chained(
     step: Callable,
     carry0,
     *,
+    consts=(),
     iters: int = 64,
     warmup_iters: int = 8,
     repeats: int = 3,
 ) -> float:
-    """Seconds per iteration of ``carry = step(carry)`` on device.
+    """Seconds per iteration of ``carry = step(carry, *consts)`` on device.
 
     ``step`` must map a pytree to a like-shaped pytree (data dependency =
     forced sequential execution). Fixed dispatch/readback overhead is
     cancelled by differencing a short and a long chain.
+
+    ``consts``: loop-invariant pytrees (weights, KV) passed as real jit
+    arguments. Do NOT close over large device arrays in ``step`` — closure
+    constants are embedded into the serialized program, and on tunneled
+    remote-TPU backends uploading them again per compile can take longer
+    than the benchmark itself.
     """
 
-    def chain(carry, n):
-        return jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
+    def chain(carry, n, *consts):
+        return jax.lax.fori_loop(0, n, lambda i, c: step(c, *consts), carry)
 
     chain_j = jax.jit(chain, static_argnums=1)
 
-    def run(n):
-        out = chain_j(carry0, n)
-        # real device->host readback of one scalar
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        t0 = time.perf_counter()
-        float(jnp.sum(leaf.astype(jnp.float32)))
-        return out
-
     def fetch(n):
-        out = chain_j(carry0, n)
+        out = chain_j(carry0, n, *consts)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf.astype(jnp.float32)))
 
