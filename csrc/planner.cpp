@@ -49,6 +49,9 @@ int fa_plan(int nq, int nk, int d, int itemsize, int causal, FaPlan* out) {
   // Must mirror ops/flash.py::_python_block_policy exactly (test_native.py).
   const bool big_d = d > 256;
   out->block_q = fit(nq, big_d ? 512 : 1024);
+  // Decode shapes (nq <= 32): 16-row Q tile — sublane-aligned, skips the
+  // ~8x wasted MXU/VPU work of padding Nq to 128. Mirrors the Python policy.
+  if (nq <= 32) out->block_q = std::max(16, round_up(nq, 16));
   out->block_k = fit(nk, big_d ? 512 : 1024);
   out->block_q_dkv = fit(nq, big_d ? 256 : 1024);
   out->block_k_dkv = fit(nk, big_d ? 256 : 512);

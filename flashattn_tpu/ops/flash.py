@@ -45,7 +45,13 @@ class BlockSizes:
     def __post_init__(self):
         for f in dataclasses.fields(self):
             val = getattr(self, f.name)
-            if val % NUM_LANES != 0:
+            if f.name.startswith("block_q"):
+                # Q-tile size is a *sublane* dimension (of the Q tile and the
+                # scores tile): 16-alignment suffices (bf16 min sublane tile),
+                # which lets decode (Nq=1) run 16-row tiles instead of 128.
+                if val % 16 != 0:
+                    raise ValueError(f"{f.name}={val} must be a multiple of 16")
+            elif val % NUM_LANES != 0:
                 raise ValueError(f"{f.name}={val} must be a multiple of {NUM_LANES}")
 
 
@@ -72,14 +78,20 @@ def _python_block_policy(nq: int, nk: int, d: int, itemsize: int) -> BlockSizes:
     """Tuned on TPU v5e (benchmarks/sweep_blocks*.py, 2026-08): fwd
     (1024,1024) ≈ 94% of the measured matmul roofline at D=128; bwd best at
     dkv(1024,512) + dq(512,1024). Large D (>256) shrinks tiles to respect the
-    ~16 MB scoped-VMEM limit ((2048,2048) OOMs at 20.6 MB)."""
+    ~16 MB scoped-VMEM limit ((2048,2048) OOMs at 20.6 MB). Decode shapes
+    (nq ≤ 32, e.g. Nq=1 against a KV cache) take a 16-row Q tile: the scores
+    tile is a sublane dimension, so tiny Q tiles are legal and skip ~8× of
+    wasted MXU/VPU work vs padding Nq to 128."""
 
     def fit(n, pref):
         return max(NUM_LANES, min(pref, _round_up(n, NUM_LANES)))
 
     big_d = d > 256
+    block_q = fit(nq, 512 if big_d else 1024)
+    if nq <= 32:
+        block_q = max(16, _round_up(nq, 16))
     return BlockSizes(
-        block_q=fit(nq, 512 if big_d else 1024),
+        block_q=block_q,
         block_k=fit(nk, 512 if big_d else 1024),
         block_q_dkv=fit(nq, 256 if big_d else 1024),
         block_k_dkv=fit(nk, 256 if big_d else 512),
