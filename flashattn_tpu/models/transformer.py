@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from flashattn_tpu.ops.flash import flash_attention
+from flashattn_tpu.ops.quant import (
+    QuantizedKV, flash_attention_quantized, quantize_kv,
+)
 from flashattn_tpu.parallel.ring import ring_attention
 
 
@@ -142,13 +145,28 @@ def lm_loss(params, tokens, cfg: TransformerConfig, *, interpret=None):
 # ───────────────────────────── decode path ──────────────────────────────────
 
 
-def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int):
+def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
+                  quant_dtype=None):
+    """KV cache pytree; ``quant_dtype`` (int8 / float8_e4m3fn) stores the
+    cache quantized per token per head, halving (or better) its HBM footprint
+    and read bandwidth — dequantization happens inside the attention kernel
+    (ops/quant.py)."""
     shape = (batch, max_len, cfg.n_kv_heads, cfg.d_head)
-    return {
-        "k": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
-        "v": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
+    cache = {
         "length": jnp.zeros((), jnp.int32),
     }
+    if quant_dtype is None:
+        cache["k"] = [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)]
+        cache["v"] = [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)]
+    else:
+        sshape = (batch, max_len, cfg.n_kv_heads)
+        cache["k"] = [jnp.zeros(shape, quant_dtype) for _ in range(cfg.n_layers)]
+        cache["v"] = [jnp.zeros(shape, quant_dtype) for _ in range(cfg.n_layers)]
+        cache["k_scale"] = [jnp.zeros(sshape, jnp.float32)
+                            for _ in range(cfg.n_layers)]
+        cache["v_scale"] = [jnp.zeros(sshape, jnp.float32)
+                            for _ in range(cfg.n_layers)]
+    return cache
 
 
 def decode_step(params, cache, token, cfg: TransformerConfig,
@@ -169,7 +187,11 @@ def decode_step(params, cache, token, cfg: TransformerConfig,
     live = slot <= pos  # include the token being written this step
     maskbias = jnp.where(live, 0.0, -1e9).astype(jnp.float32)
 
+    quantized = "k_scale" in cache
     new_cache = {"k": [], "v": [], "length": pos + 1}
+    if quantized:
+        new_cache["k_scale"] = []
+        new_cache["v_scale"] = []
     for i, layer in enumerate(params["layers"]):
         h = _rms_norm(x, layer["ln1"])
         q = jnp.einsum("bnd,dhe->bnhe", h, layer["wq"])
@@ -177,14 +199,35 @@ def decode_step(params, cache, token, cfg: TransformerConfig,
         v = jnp.einsum("bnd,dhe->bnhe", h, layer["wv"])
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        kc = jax.lax.dynamic_update_slice_in_dim(cache["k"][i], k, pos, axis=1)
-        vc = jax.lax.dynamic_update_slice_in_dim(cache["v"][i], v, pos, axis=1)
-        new_cache["k"].append(kc)
-        new_cache["v"].append(vc)
-        o = flash_attention(
-            q, kc, vc, causal=False, layout="BNHD", bias=maskbias,
-            interpret=interpret,
-        )
+        if quantized:
+            qt = quantize_kv(k, v, cache["k"][i].dtype)
+            kc = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"][i], qt.k_q, pos, axis=1)
+            vc = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"][i], qt.v_q, pos, axis=1)
+            ksc = jax.lax.dynamic_update_slice_in_dim(
+                cache["k_scale"][i], qt.k_scale, pos, axis=1)
+            vsc = jax.lax.dynamic_update_slice_in_dim(
+                cache["v_scale"][i], qt.v_scale, pos, axis=1)
+            new_cache["k"].append(kc)
+            new_cache["v"].append(vc)
+            new_cache["k_scale"].append(ksc)
+            new_cache["v_scale"].append(vsc)
+            o = flash_attention_quantized(
+                q, QuantizedKV(kc, ksc, vc, vsc), layout="BNHD",
+                bias=maskbias, interpret=interpret,
+            )
+        else:
+            kc = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"][i], k, pos, axis=1)
+            vc = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"][i], v, pos, axis=1)
+            new_cache["k"].append(kc)
+            new_cache["v"].append(vc)
+            o = flash_attention(
+                q, kc, vc, causal=False, layout="BNHD", bias=maskbias,
+                interpret=interpret,
+            )
         x = x + jnp.einsum("bnhe,hed->bnd", o, layer["wo"]).astype(x.dtype)
         x = _mlp_block(layer, x)
     x = _rms_norm(x, params["ln_f"])

@@ -74,6 +74,7 @@ def flash_attention_quantized(
     q: jax.Array,
     qkv: QuantizedKV,
     *,
+    bias: jax.Array | None = None,
     causal: bool = False,
     scale: float | None = None,
     layout: str = "BHND",
@@ -82,8 +83,10 @@ def flash_attention_quantized(
     """Fused attention over a quantized KV cache (forward only).
 
     ``q``: full-precision queries; ``qkv``: from :func:`quantize_kv`.
-    Numerics match attention over the dequantized cache to f32 round-off —
-    the dequant happens inside the kernel, not by materializing bf16 K/V.
+    ``bias``: additive logits bias broadcastable to ``[B, H, Nq, Nk]`` (e.g.
+    the not-yet-written-cache-slot mask in decode). Numerics match attention
+    over the dequantized cache to f32 round-off — the dequant happens inside
+    the kernel, not by materializing bf16 K/V.
     """
     in_dtype = q.dtype
     if layout == "BNHD":
@@ -112,10 +115,21 @@ def flash_attention_quantized(
     vp = _pad_axis(_pad_axis(qkv.v_q, 2, nkp), 3, dp)
     ksp = _pad_axis(qkv.k_scale.astype(jnp.float32), 2, nkp)
     vsp = _pad_axis(qkv.v_scale.astype(jnp.float32), 2, nkp)
+    bp = None
+    if bias is not None:
+        while bias.ndim < 4:
+            bias = bias[None]
+        bias = jnp.broadcast_to(
+            bias, (bias.shape[0], bias.shape[1], bias.shape[2], Nk))
+        bp = _pad_axis(bias.astype(jnp.float32), 3, nkp)
+        if bp.shape[2] > 1:
+            bp = _pad_axis(bp, 2, nqp)
+        else:
+            bp = jnp.broadcast_to(bp, (bp.shape[0], bp.shape[1], nqp, nkp))
 
     offsets = jnp.zeros((2,), jnp.int32)
     o, _ = flash_fwd.fwd_padded(
-        qp, kp, vp, None, offsets, ksp, vsp,
+        qp, kp, vp, bp, offsets, ksp, vsp,
         scale=float(scale), causal=bool(causal), block_q=bq, block_k=bk,
         kv_valid_len=Nk, return_lse=False, num_heads_q=Hq,
         interpret=interpret,

@@ -57,6 +57,22 @@ def test_decode_matches_forward(lm_params):
     assert max(errs) < 1e-4, errs
 
 
+def test_decode_quantized_cache(lm_params):
+    """int8 KV-cache decode must track full-precision decode closely (the
+    in-kernel-dequant serving path, ops/quant.py)."""
+    toks = jax.random.randint(jax.random.PRNGKey(9), (2, 16), 0, 128)
+    cache = init_kv_cache(CFG, 2, 16)
+    qcache = init_kv_cache(CFG, 2, 16, quant_dtype=jnp.int8)
+    step = jax.jit(lambda c, t: decode_step(lm_params, c, t, CFG))
+    errs = []
+    for t in range(5):
+        lg, cache = step(cache, toks[:, t])
+        qlg, qcache = step(qcache, toks[:, t])
+        errs.append(float(jnp.max(jnp.abs(lg - qlg))))
+    scale = float(jnp.max(jnp.abs(lg)))
+    assert max(errs) < 0.05 * max(scale, 1.0), (errs, scale)
+
+
 def test_sharded_train_step_runs_and_learns(lm_params):
     if jax.device_count() < 8:
         pytest.skip("needs 8 devices")
