@@ -39,9 +39,12 @@ WORKLOADS = [
 ]
 
 
-def build_step(params, cfg, latent_hw, batch, attn_impl):
-    """One Euler denoise step at a fixed mid-schedule sigma, as a chainable
-    latent→latent map (matches ComfyUI's per-step work: one U-Net eval)."""
+def build_step(params, cfg, latent_hw, batch, attn_impl, mode="sample"):
+    """``mode="sample"``: one Euler denoise step at a fixed mid-schedule sigma
+    (one ComfyUI "it"). ``mode="train"``: one full-parameter training step
+    (eps-MSE loss, grads through every attention backward) — the reference's
+    SDXL LoRA-training row (README.md:134-154), as a chainable latent→latent
+    map."""
     ctx_len = 77
     context = jax.random.normal(
         jax.random.PRNGKey(2), (batch, ctx_len, cfg.context_dim), jnp.float32)
@@ -52,10 +55,23 @@ def build_step(params, cfg, latent_hw, batch, attn_impl):
     # params/context are jit ARGUMENTS (consts), never closure constants:
     # closure arrays are embedded into the serialized program, which on a
     # tunneled TPU re-uploads ~GBs of weights per compile.
-    def step(x, params, context):
-        eps = unet_forward(params, x * c_in, t, context, cfg,
-                           attn_impl=attn_impl)
-        return x + (sigma_next - sigma) * eps.astype(x.dtype)
+    if mode == "sample":
+        def step(x, params, context):
+            eps = unet_forward(params, x * c_in, t, context, cfg,
+                               attn_impl=attn_impl)
+            return x + (sigma_next - sigma) * eps.astype(x.dtype)
+    else:
+        def step(x, params, context):
+            def loss_fn(p):
+                eps = unet_forward(p, x * c_in, t, context, cfg,
+                                   attn_impl=attn_impl)
+                return jnp.mean((eps.astype(jnp.float32)
+                                 - x.astype(jnp.float32)) ** 2)
+
+            g = jax.grad(loss_fn)(params)
+            gs = sum(jnp.sum(l.astype(jnp.float32))
+                     for l in jax.tree_util.tree_leaves(g))
+            return x + (0.0 * gs).astype(x.dtype)
 
     x0 = jax.random.normal(
         jax.random.PRNGKey(1), (batch, latent_hw, latent_hw, cfg.in_channels),
@@ -74,7 +90,8 @@ def peak_memory_bytes(step, x0, *consts):
         return None
 
 
-def bench_one(name, cfg_factory, latent_hw, batch, impls, iters):
+def bench_one(name, cfg_factory, latent_hw, batch, impls, iters,
+              mode="sample"):
     cfg = cfg_factory()
     # jit the whole init: eager per-param dispatch costs a tunnel round-trip
     # per op on remote-TPU backends (minutes for SD-sized nets)
@@ -84,7 +101,8 @@ def bench_one(name, cfg_factory, latent_hw, batch, impls, iters):
           flush=True)
     results = {}
     for impl in impls:
-        step, x0, context = build_step(params, cfg, latent_hw, batch, impl)
+        step, x0, context = build_step(params, cfg, latent_hw, batch, impl,
+                                       mode)
         mem = peak_memory_bytes(step, x0, params, context)
         try:
             t = time_chained(step, x0, consts=(params, context), iters=iters,
@@ -94,7 +112,7 @@ def bench_one(name, cfg_factory, latent_hw, batch, impls, iters):
                               "error": type(e).__name__}), flush=True)
             continue
         rec = {
-            "workload": name, "impl": impl,
+            "workload": name, "impl": impl, "mode": mode,
             "it_per_s": round(1.0 / t, 3), "ms_per_it": round(t * 1e3, 2),
             "peak_mem_gb": round(mem / 2**30, 3) if mem else None,
         }
@@ -113,11 +131,19 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--impls", default="fused,xla")
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--mode", default="sample", choices=["sample", "train"])
     args = ap.parse_args()
     impls = args.impls.split(",")
-    loads = WORKLOADS[:1] if args.quick else WORKLOADS
+    if args.mode == "train":
+        # the reference's training rows: SDXL LoRA at 1024² (plus SD1.5 512²)
+        loads = [WORKLOADS[0], WORKLOADS[3]]
+    else:
+        loads = WORKLOADS
+    if args.quick:
+        loads = loads[:1]
     for name, cfg_factory, hw, batch in loads:
-        bench_one(name, cfg_factory, hw, batch, impls, args.iters)
+        bench_one(name, cfg_factory, hw, batch, impls, args.iters,
+                  args.mode)
 
 
 if __name__ == "__main__":

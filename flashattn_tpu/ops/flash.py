@@ -104,6 +104,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
+    """Human-readable launch plan for an attention call — the diagnostic role
+    of the reference's failure printfs (shapes/grid/LDS on error,
+    kernel_fp16.cu:854-863), exposed proactively: block sizes, padded shapes,
+    grid, VMEM estimate and FLOPs, plus which planner produced it.
+    """
+    B, Hq, Nq, D = q_shape
+    Nk = k_shape[2]
+    itemsize = jnp.dtype(_dispatch_dtype(dtype)).itemsize
+    info = {"B": B, "H": Hq, "Nq": Nq, "Nk": Nk, "D": D, "causal": causal}
+    try:
+        from flashattn_tpu.utils import native
+
+        full = native.full_plan(Nq, Nk, D, itemsize, causal)
+    except Exception:
+        full = None
+    if full is not None:
+        info.update(full)
+        info["planner"] = "native"
+    else:
+        bs = _python_block_policy(Nq, Nk, D, itemsize)
+        info.update(dataclasses.asdict(bs))
+        info["nq_padded"] = _round_up(Nq, bs.block_q)
+        info["nk_padded"] = _round_up(Nk, bs.block_k)
+        info["d_padded"] = _round_up(D, NUM_LANES)
+        info["planner"] = "python"
+    return info
+
+
 def _dispatch_dtype(dtype) -> jnp.dtype:
     """Kernel compute dtype per input dtype (host.cpp:30-45 policy)."""
     dtype = jnp.dtype(dtype)

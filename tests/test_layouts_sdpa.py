@@ -67,3 +67,27 @@ def test_sdpa_custom_scale():
     want = attention_reference(q, k, v, scale=0.25)
     got = scaled_dot_product_attention(q, k, v, scale=0.25)
     assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+def test_sdpa_impl_dispatch_agreement():
+    """auto/fused/exact must agree (auto picks exact for a small square and
+    for tiny-Nk cross-attention; fused for long sequences)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashattn_tpu.ops.sdpa import _exact_is_faster, \
+        scaled_dot_product_attention as sdpa
+
+    assert _exact_is_faster(512, 512)
+    assert _exact_is_faster(4096, 77)   # SD cross-attention
+    assert not _exact_is_faster(4096, 4096)
+    assert not _exact_is_faster(1, 8192)  # decode stays fused
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (1, 2, 256, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, 320, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, 320, 64), jnp.float32)
+    outs = {impl: sdpa(q, k, v, is_causal=True, impl=impl)
+            for impl in ("auto", "fused", "exact")}
+    assert float(jnp.max(jnp.abs(outs["auto"] - outs["exact"]))) == 0.0
+    assert float(jnp.max(jnp.abs(outs["fused"] - outs["exact"]))) < 2e-5
