@@ -40,27 +40,32 @@ struct FaPlan {
 
 // Tile/padding/cost plan for one attention call. Mirrors
 // flashattn_tpu.ops.flash._python_block_policy exactly (pinned by test).
-int fa_plan(int nq, int nk, int d, int itemsize, int causal, FaPlan* out) {
+int fa_plan(int nq, int nk, int d, int itemsize, int causal, int has_bias,
+            FaPlan* out) {
   if (nq <= 0 || nk <= 0 || d <= 0 || itemsize <= 0 || out == nullptr)
     return 1;
 
   // Tuned on TPU v5e (benchmarks/sweep_blocks*.py): fwd (1024,1024); bwd
-  // dkv(1024,512) + dq(512,1024); shrink for D>256 (scoped-VMEM ~16 MB).
+  // dkv(1024,512) + dq(512,1024); shrink for D>256 (scoped-VMEM ~16 MB) and
+  // when a bias adds an f32 (block_q, block_k) tile to the working set.
   // Must mirror ops/flash.py::_python_block_policy exactly (test_native.py).
   const bool big_d = d > 256;
-  out->block_q = fit(nq, big_d ? 512 : 1024);
+  const bool small = big_d || has_bias;
+  out->block_q = fit(nq, small ? 512 : 1024);
   // Decode shapes (nq <= 32): 16-row Q tile — sublane-aligned, skips the
   // ~8x wasted MXU/VPU work of padding Nq to 128. Mirrors the Python policy.
   if (nq <= 32) out->block_q = std::max(16, round_up(nq, 16));
   out->block_k = fit(nk, big_d ? 512 : 1024);
-  out->block_q_dkv = fit(nq, big_d ? 256 : 1024);
+  out->block_q_dkv = fit(nq, big_d ? 256 : (has_bias ? 512 : 1024));
   out->block_k_dkv = fit(nk, big_d ? 256 : 512);
   out->block_q_dq = fit(nq, big_d ? 256 : 512);
-  out->block_k_dq = fit(nk, big_d ? 256 : 1024);
+  out->block_k_dq = fit(nk, big_d ? 256 : (has_bias ? 512 : 1024));
 
   out->nq_padded = round_up(nq, out->block_q);
   out->nk_padded = round_up(nk, out->block_k);
-  out->d_padded = round_up(d, kLanes);
+  // head-dim lane padding: 64-multiples (Mosaic-native; +11% at D=64 on
+  // v5e vs 128-rounding) — mirrors ops/flash.py::_pad_head_dim
+  out->d_padded = round_up(d, 64);
   out->grid_q_tiles = out->nq_padded / out->block_q;
   out->grid_kv_tiles = out->nk_padded / out->block_k;
 

@@ -55,26 +55,29 @@ class BlockSizes:
                 raise ValueError(f"{f.name}={val} must be a multiple of {NUM_LANES}")
 
 
-def choose_block_sizes(nq: int, nk: int, d: int, dtype) -> BlockSizes:
+def choose_block_sizes(nq: int, nk: int, d: int, dtype,
+                       has_bias: bool = False) -> BlockSizes:
     """Default tile policy (Python mirror of the native planner).
 
     Rationale: block_q/block_k ≥ 256 keeps the MXU pipeline deep; shrink for
     short sequences so tiny inputs do not pad to 2× their size; cap the
     scores-tile VMEM when D is large (the reference's D>384 → Br=32 rule,
-    FlashAttn.py:66-67, translated to VMEM terms).
+    FlashAttn.py:66-67, translated to VMEM terms) or when a bias adds an
+    f32 (block_q, block_k) tile to the working set.
     """
     try:
         from flashattn_tpu.utils import native
 
-        plan = native.plan(nq, nk, d, jnp.dtype(dtype).itemsize)
+        plan = native.plan(nq, nk, d, jnp.dtype(dtype).itemsize, has_bias)
         if plan is not None:
             return BlockSizes(*plan)
     except Exception:
         pass
-    return _python_block_policy(nq, nk, d, jnp.dtype(dtype).itemsize)
+    return _python_block_policy(nq, nk, d, jnp.dtype(dtype).itemsize, has_bias)
 
 
-def _python_block_policy(nq: int, nk: int, d: int, itemsize: int) -> BlockSizes:
+def _python_block_policy(nq: int, nk: int, d: int, itemsize: int,
+                         has_bias: bool = False) -> BlockSizes:
     """Tuned on TPU v5e (benchmarks/sweep_blocks*.py, 2026-08): fwd
     (1024,1024) ≈ 94% of the measured matmul roofline at D=128; bwd best at
     dkv(1024,512) + dq(512,1024). Large D (>256) shrinks tiles to respect the
@@ -86,22 +89,34 @@ def _python_block_policy(nq: int, nk: int, d: int, itemsize: int) -> BlockSizes:
     def fit(n, pref):
         return max(NUM_LANES, min(pref, _round_up(n, NUM_LANES)))
 
-    big_d = d > 256
-    block_q = fit(nq, 512 if big_d else 1024)
+    # A bias adds an f32 (block_q, block_k) tile per pipeline stage; a
+    # (1024, 1024) pair overflows the ~16 MB scoped-VMEM budget, so cap the
+    # Q-tile rows at 512 (measured ≤5% fwd cost, flash.py block sweep).
+    small = d > 256 or has_bias
+    block_q = fit(nq, 512 if small else 1024)
     if nq <= 32:
         block_q = max(16, _round_up(nq, 16))
     return BlockSizes(
         block_q=block_q,
-        block_k=fit(nk, 512 if big_d else 1024),
-        block_q_dkv=fit(nq, 256 if big_d else 1024),
-        block_k_dkv=fit(nk, 256 if big_d else 512),
-        block_q_dq=fit(nq, 256 if big_d else 512),
-        block_k_dq=fit(nk, 256 if big_d else 1024),
+        block_k=fit(nk, 512 if d > 256 else 1024),
+        block_q_dkv=fit(nq, 256 if d > 256 else (512 if has_bias else 1024)),
+        block_k_dkv=fit(nk, 256 if d > 256 else 512),
+        block_q_dq=fit(nq, 256 if d > 256 else 512),
+        block_k_dq=fit(nk, 256 if d > 256 else (512 if has_bias else 1024)),
     )
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pad_head_dim(d: int) -> int:
+    """Lane padding for the head dimension: 64-multiples, not 128.
+
+    Mosaic handles 64- and 192-lane operands natively; measured on v5e this
+    is +11% at D=64 and +7% at D=160 over rounding to 128 (less wasted MXU
+    contraction and fewer pad copies)."""
+    return _round_up(d, 64)
 
 
 def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
@@ -128,7 +143,7 @@ def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
         info.update(dataclasses.asdict(bs))
         info["nq_padded"] = _round_up(Nq, bs.block_q)
         info["nk_padded"] = _round_up(Nk, bs.block_k)
-        info["d_padded"] = _round_up(D, NUM_LANES)
+        info["d_padded"] = _pad_head_dim(D)
         info["planner"] = "python"
     return info
 
@@ -189,7 +204,7 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
     Hkv, Nk = k.shape[1], k.shape[2]
     bq, bk = blocks.block_q, blocks.block_k
     nqp, nkp = _round_up(Nq, bq), _round_up(Nk, bk)
-    dp = _round_up(D, NUM_LANES)
+    dp = _pad_head_dim(D)
 
     qp = _pad_axis(_pad_axis(q, 2, nqp), 3, dp)
     kp = _pad_axis(_pad_axis(k, 2, nkp), 3, dp)
@@ -245,7 +260,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret,
 
     bq_dkv, bk_dkv = blocks.block_q_dkv, blocks.block_k_dkv
     bq_dq, bk_dq = blocks.block_q_dq, blocks.block_k_dq
-    dp = _round_up(D, NUM_LANES)
+    dp = _pad_head_dim(D)
 
     def padded(x, bq_, bk_, axis2_is_q=True):
         n = _round_up(Nq if axis2_is_q else Nk, bq_ if axis2_is_q else bk_)
@@ -377,7 +392,8 @@ def flash_attention(
     q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
 
     if block_sizes is None:
-        block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3], kdt)
+        block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3],
+                                         kdt, bias is not None)
     offsets = jnp.stack(
         [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
     )
@@ -416,7 +432,8 @@ def flash_attention_with_lse(
     kdt = _dispatch_dtype(in_dtype)
     q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
     if block_sizes is None:
-        block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3], kdt)
+        block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3],
+                                         kdt, bias is not None)
     offsets = jnp.stack(
         [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
     )

@@ -36,6 +36,8 @@ from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
 from flashattn_tpu.utils import platform
 
 NUM_LANES = 128
+LOG2E = 1.4426950408889634  # log2(e)
+LN2 = 0.6931471805599453    # 1/LOG2E
 
 
 def _fwd_kernel(
@@ -96,7 +98,10 @@ def _fwd_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s *= scale
+        # log2 domain: fold log2(e) into the softmax scale once per tile so
+        # the per-element exponentials are bare exp2 (the reference folds the
+        # same way, kernel_fp16.cu:827); converted back at the LSE epilogue.
+        s *= scale * LOG2E
         if k_scale_ref is not None:
             # Quantized K: per-token dequant folded as a *column* scaling of
             # the scores, s_j·(q·k_j) = q·(s_j k_j) — a lane-aligned broadcast
@@ -104,7 +109,7 @@ def _fwd_kernel(
             # dequantized form (north-star: in-kernel KV dequant).
             s *= k_scale_ref[0, 0, 0][None, :]
         if bias_ref is not None:
-            s += bias_ref[0, 0].astype(jnp.float32)
+            s += bias_ref[0, 0].astype(jnp.float32) * LOG2E
 
         need_tail_mask = kv_valid_len != kv_padded_len
         if causal or need_tail_mask:
@@ -126,8 +131,8 @@ def _fwd_kernel(
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)            # (bq, 1)
         m_next = jnp.maximum(m_prev, m_cur)                  # (bq, 128)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])                       # (bq, bk)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])                      # (bq, bk)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -151,7 +156,8 @@ def _fwd_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] * (1.0 / l_safe[:, :1])).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse_ref[0, 0] = m_scr[...] + jnp.log(l_safe)
+            # m is in log2 units; emit natural-log LSE (the bwd contract)
+            lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
 
 
 @functools.partial(

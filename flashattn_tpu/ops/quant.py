@@ -23,6 +23,7 @@ from flashattn_tpu.ops.flash import (
     NUM_LANES,
     _dispatch_dtype,
     _pad_axis,
+    _pad_head_dim,
     _round_up,
     choose_block_sizes,
 )
@@ -108,7 +109,7 @@ def flash_attention_quantized(
     blocks = choose_block_sizes(Nq, Nk, D, kdt)
     bq, bk = blocks.block_q, blocks.block_k
     nqp, nkp = _round_up(Nq, bq), _round_up(Nk, bk)
-    dp = _round_up(D, NUM_LANES)
+    dp = _pad_head_dim(D)
 
     qp = _pad_axis(_pad_axis(q, 2, nqp), 3, dp)
     kp = _pad_axis(_pad_axis(qkv.k_q, 2, nkp), 3, dp)

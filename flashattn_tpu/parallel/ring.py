@@ -31,6 +31,7 @@ from flashattn_tpu.ops.flash import (
     _dispatch_dtype,
     _flash_core_fwd_impl,
     _pad_axis,
+    _pad_head_dim,
     _round_up,
     choose_block_sizes,
 )
@@ -66,7 +67,7 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
     nk = k_blk.shape[2]
     offsets = jnp.stack([jnp.asarray(q_off, jnp.int32),
                          jnp.asarray(kv_off, jnp.int32)])
-    dp = _round_up(D, NUM_LANES)
+    dp = _pad_head_dim(D)
 
     # dKV pass
     bq, bk = blocks.block_q_dkv, blocks.block_k_dkv

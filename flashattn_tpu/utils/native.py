@@ -63,7 +63,7 @@ def _load():
     lib.fa_plan.restype = ctypes.c_int
     lib.fa_plan.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(_Plan),
+        ctypes.c_int, ctypes.POINTER(_Plan),
     ]
     lib.fa_bench_stats.restype = ctypes.c_int
     lib.fa_bench_stats.argtypes = [
@@ -73,26 +73,30 @@ def _load():
     return lib
 
 
-def plan(nq: int, nk: int, d: int, itemsize: int, causal: bool = False):
+def plan(nq: int, nk: int, d: int, itemsize: int, has_bias: bool = False,
+         causal: bool = False):
     """Native tile plan → 6-tuple of block sizes, or None (fallback to Python)."""
     lib = _load()
     if lib is None:
         return None
     out = _Plan()
-    rc = lib.fa_plan(nq, nk, d, itemsize, int(causal), ctypes.byref(out))
+    rc = lib.fa_plan(nq, nk, d, itemsize, int(causal), int(has_bias),
+                     ctypes.byref(out))
     if rc != 0:
         return None
     return (out.block_q, out.block_k, out.block_q_dkv, out.block_k_dkv,
             out.block_q_dq, out.block_k_dq)
 
 
-def full_plan(nq: int, nk: int, d: int, itemsize: int, causal: bool = False):
+def full_plan(nq: int, nk: int, d: int, itemsize: int, causal: bool = False,
+              has_bias: bool = False):
     """Full native plan struct as a dict (padding, grid, VMEM/cost estimates)."""
     lib = _load()
     if lib is None:
         return None
     out = _Plan()
-    rc = lib.fa_plan(nq, nk, d, itemsize, int(causal), ctypes.byref(out))
+    rc = lib.fa_plan(nq, nk, d, itemsize, int(causal), int(has_bias),
+                     ctypes.byref(out))
     if rc != 0:
         return None
     return {f[0]: getattr(out, f[0]) for f in _Plan._fields_}
