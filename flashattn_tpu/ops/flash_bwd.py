@@ -287,6 +287,9 @@ def dkv_padded(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget is 16 MB; v5e has 128 MB of VMEM —
+            # raise the cap so (1024,1024) tiles fit alongside bias/dbias
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(8 * B * H * Nqp * Nkp * D * (0.5 if causal else 1.0)),
@@ -362,6 +365,9 @@ def dq_padded(
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget is 16 MB; v5e has 128 MB of VMEM —
+            # raise the cap so (1024,1024) tiles fit alongside bias/dbias
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(6 * B * H * Nqp * Nkp * D * (0.5 if causal else 1.0)),

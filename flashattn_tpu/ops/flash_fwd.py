@@ -298,6 +298,9 @@ def fwd_padded(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget is 16 MB; v5e has 128 MB of VMEM —
+            # raise the cap so (1024,1024) tiles fit alongside bias/dbias
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=cost,
         interpret=interpret,

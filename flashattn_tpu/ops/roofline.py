@@ -20,14 +20,31 @@ from flashattn_tpu.utils import platform
 from flashattn_tpu.utils.timing import time_chained
 
 
-def _roofline_kernel(a_ref, b_ref, o_ref, *, iters, size):
-    def body(i, c):
-        # data dependency through c: a' = a + tiny*c cannot be hoisted
-        a = a_ref[...] + (1e-30 * c).astype(a_ref.dtype)
-        return jax.lax.dot(a, b_ref[...], preferred_element_type=jnp.float32)
+N_CHAINS = 4  # independent dependency chains — keeps the MXU pipeline full
+               # (a single chained dot is latency-bound: 151 vs 191 TFLOP/s
+               # measured for a big XLA matmul on v5e)
 
-    c0 = jnp.zeros((size, size), jnp.float32)
-    o_ref[...] = jax.lax.fori_loop(0, iters, body, c0).astype(o_ref.dtype)
+
+def _roofline_kernel(a_ref, b_ref, o_ref, *, iters, size):
+    def body(i, cs):
+        # data dependency through each c: a' = a + tiny*c cannot be hoisted,
+        # but the N_CHAINS dots are mutually independent and interleave.
+        return tuple(
+            jax.lax.dot(
+                a_ref[...] + (1e-30 * c).astype(a_ref.dtype), b_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            for c in cs
+        )
+
+    c0 = tuple(
+        jnp.zeros((size, size), jnp.float32) for _ in range(N_CHAINS)
+    )
+    cs = jax.lax.fori_loop(0, iters, body, c0)
+    acc = cs[0]
+    for c in cs[1:]:
+        acc = acc + c
+    o_ref[...] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "size", "interpret"))
@@ -38,7 +55,7 @@ def _roofline_call(a, b, *, iters, size, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * size * size * size * iters,
+            flops=2 * size * size * size * iters * 4,  # N_CHAINS dots/iter
             bytes_accessed=3 * size * size * 2,
             transcendentals=0,
         ),
@@ -63,5 +80,6 @@ def measure_mxu_peak_tflops(
         return out.astype(dtype)
 
     t = time_chained(step, a, consts=(b,), iters=8, warmup_iters=2, repeats=2)
-    flops = 2.0 * size ** 3 * iters
+    from flashattn_tpu.ops.roofline import N_CHAINS as _nc
+    flops = 2.0 * size ** 3 * iters * _nc
     return flops / t / 1e12
