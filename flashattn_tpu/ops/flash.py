@@ -187,19 +187,19 @@ def _from_bhnd(x, layout):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _flash_core(q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len,
-                interpret):
+                interpret, window):
     o, _ = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
-        return_lse=False,
+        return_lse=False, window=window,
     )
     return o
 
 
 def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
-                         kv_valid_len, interpret, *, return_lse):
+                         kv_valid_len, interpret, *, return_lse, window=None):
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
     bq, bk = blocks.block_q, blocks.block_k
@@ -219,7 +219,7 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
         qp, kp, vp, bp, offsets,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=kv_valid_len, return_lse=return_lse,
-        num_heads_q=Hq, interpret=interpret,
+        num_heads_q=Hq, interpret=interpret, window=window,
     )
     o = o[:, :, :Nq, :D]
     lse_out = lse[:, :, :Nq] if lse is not None else None
@@ -234,15 +234,15 @@ def _int_zero_cotangent(x):
 
 
 def _flash_core_fwd(q, k, v, bias, offsets, scale, causal, blocks,
-                    kv_valid_len, interpret):
+                    kv_valid_len, interpret, window):
     o, lse = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
-        return_lse=True,
+        return_lse=True, window=window,
     )
     return o, (q, k, v, bias, offsets, o, lse)
 
 
-def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret,
+def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
                     residuals, g):
     q, k, v, bias, offsets, o, lse = residuals
     B, Hq, Nq, D = q.shape
@@ -285,7 +285,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret,
     dk, dv = flash_bwd.dkv_padded(
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
         scale=scale, causal=causal, block_q=bq_dkv, block_k=bk_dkv,
-        kv_valid_len=kv_valid_len, interpret=interpret,
+        kv_valid_len=kv_valid_len, interpret=interpret, window=window,
     )
     dk = dk[:, :, :Nk, :D]
     dv = dv[:, :, :Nk, :D]
@@ -311,6 +311,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret,
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
         scale=scale, causal=causal, block_q=bq_dq, block_k=bk_dq,
         kv_valid_len=kv_valid_len, want_dbias=want_dbias, interpret=interpret,
+        window=window,
     )
     dq = dq[:, :, :Nq, :D]
 
@@ -358,6 +359,7 @@ def flash_attention(
     block_sizes: BlockSizes | None = None,
     q_offset: jax.Array | int = 0,
     kv_offset: jax.Array | int = 0,
+    window: tuple[int, int] | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused FlashAttention-2, differentiable, arbitrary shapes.
@@ -374,6 +376,11 @@ def flash_attention(
       scale: softmax scale, default ``D ** -0.5`` (FlashAttn.py:63-64).
       q_offset/kv_offset: absolute position offsets of the q/kv chunks (for
         sequence-parallel callers); ints or scalar int32 arrays.
+      window: optional sliding window ``(left, right)``: absolute position
+        pair (i, j) attends iff ``i - left <= j <= i + right``; -1 disables a
+        side (Mistral-style local attention is ``window=(w-1, 0)`` or
+        ``causal=True, window=(w-1, -1)``). Whole out-of-window tiles are
+        skipped, so cost scales with the window, not N².
       block_sizes: override the tile policy.
       interpret: force Pallas interpreter mode (None = auto: TPU compiles,
         CPU interprets).
@@ -400,6 +407,7 @@ def flash_attention(
     o = _flash_core(
         q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
         k.shape[2], interpret,
+        tuple(int(w) for w in window) if window is not None else None,
     )
     return _from_bhnd(o.astype(in_dtype), layout)
 
@@ -416,6 +424,7 @@ def flash_attention_with_lse(
     block_sizes: BlockSizes | None = None,
     q_offset: jax.Array | int = 0,
     kv_offset: jax.Array | int = 0,
+    window: tuple[int, int] | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward-only fused attention returning ``(O, L)`` with
@@ -440,6 +449,7 @@ def flash_attention_with_lse(
     o, lse = _flash_core_fwd_impl(
         q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
         k.shape[2], interpret, return_lse=True,
+        window=tuple(int(w) for w in window) if window is not None else None,
     )
     return _from_bhnd(o.astype(in_dtype), layout), lse
 

@@ -33,10 +33,31 @@ from flashattn_tpu.utils import platform
 NUM_LANES = 128
 
 
+def _tile_should_run(q_tile, kv_tile, block_q, block_k, q_off, kv_off,
+                     causal, window):
+    """Whole-tile skip predicate (must be conservative: run any tile that
+    could contain an unmasked pair). Mirrors the fwd kernel's skip logic."""
+    wl, wr = window if window is not None else (-1, -1)
+    should_run = True
+    if causal or wr >= 0:
+        first_kv_pos = kv_tile * block_k + kv_off
+        last_q_pos = q_tile * block_q + (block_q - 1) + q_off
+        bound = last_q_pos + (wr if (wr >= 0 and not causal) else 0)
+        should_run = first_kv_pos <= bound
+    if wl >= 0:
+        last_kv_pos = kv_tile * block_k + (block_k - 1) + kv_off
+        first_q_pos = q_tile * block_q + q_off
+        in_window = last_kv_pos >= first_q_pos - wl
+        should_run = in_window if isinstance(should_run, bool) \
+            else jnp.logical_and(should_run, in_window)
+    return should_run
+
+
 def _recompute_p_ds(
     q, k, v, do, lse, delta, bias_val, *,
     scale, causal, need_tail_mask, kv_valid_len,
     q_tile, kv_tile, block_q, block_k, q_off, kv_off,
+    window=None,
 ):
     """Shared recompute: returns (p, ds) as f32 (block_q, block_k).
 
@@ -50,19 +71,29 @@ def _recompute_p_ds(
     s *= scale
     if bias_val is not None:
         s += bias_val.astype(jnp.float32)
-    if causal or need_tail_mask:
+    wl, wr = window if window is not None else (-1, -1)
+    has_window = wl >= 0 or wr >= 0
+    if causal or need_tail_mask or has_window:
         col_pos = jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         ) + kv_tile * block_k
         mask = None
         if need_tail_mask:
             mask = col_pos < kv_valid_len
-        if causal:
+        if causal or has_window:
             row_pos = jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             ) + q_tile * block_q + q_off
-            cmask = (col_pos + kv_off) <= row_pos
-            mask = cmask if mask is None else (mask & cmask)
+            col_abs = col_pos + kv_off
+            if causal:
+                cmask = col_abs <= row_pos
+                mask = cmask if mask is None else (mask & cmask)
+            if wl >= 0:
+                wmask = col_abs >= row_pos - wl
+                mask = wmask if mask is None else (mask & wmask)
+            if wr >= 0:
+                wmask = col_abs <= row_pos + wr
+                mask = wmask if mask is None else (mask & wmask)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jnp.exp(s - lse[:, :1])
     dp = jax.lax.dot_general(
@@ -79,7 +110,7 @@ def _dkv_kernel(
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, scale, causal, block_q, block_k, num_q_tiles,
-    kv_valid_len, kv_padded_len,
+    kv_valid_len, kv_padded_len, window=None,
 ):
     kv_tile = pl.program_id(2)
     q_tile = pl.program_id(3)
@@ -91,12 +122,8 @@ def _dkv_kernel(
 
     q_off = offs_ref[0]
     kv_off = offs_ref[1]
-    if causal:
-        should_run = (kv_tile * block_k + kv_off) <= (
-            q_tile * block_q + (block_q - 1) + q_off
-        )
-    else:
-        should_run = True
+    should_run = _tile_should_run(q_tile, kv_tile, block_q, block_k,
+                                  q_off, kv_off, causal, window)
 
     @pl.when(should_run)
     def _compute():
@@ -112,6 +139,7 @@ def _dkv_kernel(
             kv_valid_len=kv_valid_len,
             q_tile=q_tile, kv_tile=kv_tile,
             block_q=block_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
+            window=window,
         )
         # dV += Pᵀ · dO   (reference kernel_fp16.cu:724)
         dv_scr[...] += jax.lax.dot_general(
@@ -138,7 +166,7 @@ def _dq_kernel(
     dq_ref, dbias_ref,
     dq_scr,
     *, scale, causal, block_q, block_k, num_kv_tiles,
-    kv_valid_len, kv_padded_len,
+    kv_valid_len, kv_padded_len, window=None,
 ):
     q_tile = pl.program_id(2)
     kv_tile = pl.program_id(3)
@@ -149,12 +177,8 @@ def _dq_kernel(
 
     q_off = offs_ref[0]
     kv_off = offs_ref[1]
-    if causal:
-        should_run = (kv_tile * block_k + kv_off) <= (
-            q_tile * block_q + (block_q - 1) + q_off
-        )
-    else:
-        should_run = True
+    should_run = _tile_should_run(q_tile, kv_tile, block_q, block_k,
+                                  q_off, kv_off, causal, window)
 
     @pl.when(should_run)
     def _compute():
@@ -168,6 +192,7 @@ def _dq_kernel(
             kv_valid_len=kv_valid_len,
             q_tile=q_tile, kv_tile=kv_tile,
             block_q=block_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
+            window=window,
         )
         if dbias_ref is not None:
             dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
@@ -179,8 +204,9 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if causal and dbias_ref is not None:
-        # Skipped (above-diagonal) tiles still own a dbias block: zero it.
+    wl_, wr_ = window if window is not None else (-1, -1)
+    if (causal or wl_ >= 0 or wr_ >= 0) and dbias_ref is not None:
+        # Skipped (out-of-window) tiles still own a dbias block: zero it.
         @pl.when(jnp.logical_not(should_run))
         def _zero_dbias():
             dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
@@ -235,11 +261,12 @@ def _common_specs(B, H, block_q, block_k, D, bias, order):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
-                     "kv_valid_len", "interpret"),
+                     "kv_valid_len", "interpret", "window"),
 )
 def dkv_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     *, scale, causal, block_q, block_k, kv_valid_len, interpret=None,
+    window=None,
 ):
     """dK/dV kernel launch. All seq dims pre-padded; H == Hkv (GQA expanded
     by the wrapper). ``lse_rep``/``delta_rep``: [B,H,Nqp,128] lane-replicated.
@@ -267,6 +294,7 @@ def dkv_padded(
             offs, qr, kr, vr, dor, lser, deltar, bias_r, dk_r, dv_r, dk_s, dv_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_q_tiles=tq, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+            window=window,
         )
 
     dk, dv = pl.pallas_call(
@@ -304,12 +332,12 @@ def dkv_padded(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
-                     "kv_valid_len", "want_dbias", "interpret"),
+                     "kv_valid_len", "want_dbias", "interpret", "window"),
 )
 def dq_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     *, scale, causal, block_q, block_k, kv_valid_len,
-    want_dbias=False, interpret=None,
+    want_dbias=False, interpret=None, window=None,
 ):
     """dQ kernel launch (grid over Q tiles — no dQ races by construction).
 
@@ -354,6 +382,7 @@ def dq_padded(
             offs, qr, kr, vr, dor, lser, deltar, bias_r, dq_r, dbias_r, dq_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+            window=window,
         )
 
     outs = pl.pallas_call(

@@ -65,6 +65,7 @@ def _fwd_kernel(
     kv_valid_len: int,
     kv_padded_len: int,
     mask_value: float,
+    window: tuple[int, int] | None = None,
 ):
     q_tile = pl.program_id(2)
     kv_tile = pl.program_id(3)
@@ -78,14 +79,23 @@ def _fwd_kernel(
     q_off = offs_ref[0]
     kv_off = offs_ref[1]
 
-    if causal:
-        # Skip tiles strictly above the diagonal: the tile's first kv position
-        # must not exceed the tile's last q position (absolute coordinates).
+    wl, wr = window if window is not None else (-1, -1)
+    if causal or wr >= 0:
+        # Skip tiles strictly above the diagonal (+ right window): the tile's
+        # first kv position must not exceed the tile's last q position (+wr).
         first_kv_pos = kv_tile * block_k + kv_off
         last_q_pos = q_tile * block_q + (block_q - 1) + q_off
-        should_run = first_kv_pos <= last_q_pos
+        bound = last_q_pos + (wr if (wr >= 0 and not causal) else 0)
+        should_run = first_kv_pos <= bound
     else:
         should_run = True
+    if wl >= 0:
+        # Sliding window: skip tiles entirely left of the window.
+        last_kv_pos = kv_tile * block_k + (block_k - 1) + kv_off
+        first_q_pos = q_tile * block_q + q_off
+        in_window = last_kv_pos >= first_q_pos - wl
+        should_run = jnp.logical_and(should_run, in_window) \
+            if not isinstance(should_run, bool) else in_window
 
     @pl.when(should_run)
     def _compute():
@@ -112,19 +122,28 @@ def _fwd_kernel(
             s += bias_ref[0, 0].astype(jnp.float32) * LOG2E
 
         need_tail_mask = kv_valid_len != kv_padded_len
-        if causal or need_tail_mask:
+        has_window = wl >= 0 or wr >= 0
+        if causal or need_tail_mask or has_window:
             col_pos = jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             ) + kv_tile * block_k
             mask = None
             if need_tail_mask:
                 mask = col_pos < kv_valid_len
-            if causal:
+            if causal or has_window:
                 row_pos = jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 0
                 ) + q_tile * block_q + q_off
-                cmask = (col_pos + kv_off) <= row_pos
-                mask = cmask if mask is None else (mask & cmask)
+                col_abs = col_pos + kv_off
+                if causal:
+                    cmask = col_abs <= row_pos
+                    mask = cmask if mask is None else (mask & cmask)
+                if wl >= 0:
+                    wmask = col_abs >= row_pos - wl
+                    mask = wmask if mask is None else (mask & wmask)
+                if wr >= 0:
+                    wmask = col_abs <= row_pos + wr
+                    mask = wmask if mask is None else (mask & wmask)
             s = jnp.where(mask, s, mask_value)
 
         m_prev = m_scr[...]                                  # (bq, 128)
@@ -164,7 +183,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_k", "kv_valid_len",
-        "return_lse", "interpret", "num_heads_q",
+        "return_lse", "interpret", "num_heads_q", "window",
     ),
 )
 def fwd_padded(
@@ -184,6 +203,7 @@ def fwd_padded(
     return_lse: bool,
     num_heads_q: int,
     interpret: bool | None = None,
+    window: tuple[int, int] | None = None,
 ):
     """Launch the forward kernel on pre-padded, canonical-layout inputs.
 
@@ -275,7 +295,7 @@ def fwd_padded(
             m_scr, l_scr, acc_scr,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
-            mask_value=DEFAULT_MASK_VALUE,
+            mask_value=DEFAULT_MASK_VALUE, window=window,
         )
 
     flops_per_prog = 4 * block_q * block_k * D  # QK^T + PV

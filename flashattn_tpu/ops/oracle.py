@@ -30,6 +30,7 @@ def attention_reference(
     scale: float | None = None,
     q_offset: int = 0,
     kv_offset: int = 0,
+    window: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Unfused exact attention in float32, `[B, H, N, D]` layout.
 
@@ -44,6 +45,9 @@ def attention_reference(
       q_offset / kv_offset: absolute-position offsets of the local q/kv chunks;
         used by sequence-parallel callers so causal masking stays globally
         consistent.
+      window: optional sliding window ``(left, right)``: position pair
+        (i, j) may attend iff ``i - left <= j <= i + right`` (absolute
+        positions); -1 disables that side. Composes with ``causal``.
     Returns:
       ``[B, H, Nq, D]`` in ``q.dtype``.
     """
@@ -65,10 +69,19 @@ def attention_reference(
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
-    if causal:
+    if causal or window is not None:
         q_pos = jnp.arange(Nq)[:, None] + q_offset
         kv_pos = jnp.arange(Nk)[None, :] + kv_offset
-        s = jnp.where(kv_pos <= q_pos, s, DEFAULT_MASK_VALUE)
+        keep = jnp.ones((Nq, Nk), bool)
+        if causal:
+            keep &= kv_pos <= q_pos
+        if window is not None:
+            wl, wr = window
+            if wl >= 0:
+                keep &= kv_pos >= q_pos - wl
+            if wr >= 0:
+                keep &= kv_pos <= q_pos + wr
+        s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
     return o.astype(orig_dtype)
