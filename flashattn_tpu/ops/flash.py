@@ -187,19 +187,20 @@ def _from_bhnd(x, layout):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
 def _flash_core(q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len,
-                interpret, window):
+                interpret, window, static_offsets):
     o, _ = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
-        return_lse=False, window=window,
+        return_lse=False, window=window, static_offsets=static_offsets,
     )
     return o
 
 
 def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
-                         kv_valid_len, interpret, *, return_lse, window=None):
+                         kv_valid_len, interpret, *, return_lse, window=None,
+                         static_offsets=None):
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
     bq, bk = blocks.block_q, blocks.block_k
@@ -220,6 +221,7 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=kv_valid_len, return_lse=return_lse,
         num_heads_q=Hq, interpret=interpret, window=window,
+        static_offsets=static_offsets,
     )
     o = o[:, :, :Nq, :D]
     lse_out = lse[:, :, :Nq] if lse is not None else None
@@ -234,16 +236,16 @@ def _int_zero_cotangent(x):
 
 
 def _flash_core_fwd(q, k, v, bias, offsets, scale, causal, blocks,
-                    kv_valid_len, interpret, window):
+                    kv_valid_len, interpret, window, static_offsets):
     o, lse = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
-        return_lse=True, window=window,
+        return_lse=True, window=window, static_offsets=static_offsets,
     )
     return o, (q, k, v, bias, offsets, o, lse)
 
 
 def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
-                    residuals, g):
+                    static_offsets, residuals, g):
     q, k, v, bias, offsets, o, lse = residuals
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
@@ -286,6 +288,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
         scale=scale, causal=causal, block_q=bq_dkv, block_k=bk_dkv,
         kv_valid_len=kv_valid_len, interpret=interpret, window=window,
+        static_offsets=static_offsets,
     )
     dk = dk[:, :, :Nk, :D]
     dv = dv[:, :, :Nk, :D]
@@ -311,7 +314,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
         scale=scale, causal=causal, block_q=bq_dq, block_k=bk_dq,
         kv_valid_len=kv_valid_len, want_dbias=want_dbias, interpret=interpret,
-        window=window,
+        window=window, static_offsets=static_offsets,
     )
     dq = dq[:, :, :Nq, :D]
 
@@ -404,10 +407,15 @@ def flash_attention(
     offsets = jnp.stack(
         [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
     )
+    static_offsets = (
+        (int(q_offset), int(kv_offset))
+        if isinstance(q_offset, int) and isinstance(kv_offset, int) else None
+    )
     o = _flash_core(
         q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
         k.shape[2], interpret,
         tuple(int(w) for w in window) if window is not None else None,
+        static_offsets,
     )
     return _from_bhnd(o.astype(in_dtype), layout)
 
@@ -450,6 +458,11 @@ def flash_attention_with_lse(
         q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
         k.shape[2], interpret, return_lse=True,
         window=tuple(int(w) for w in window) if window is not None else None,
+        static_offsets=(
+            (int(q_offset), int(kv_offset))
+            if isinstance(q_offset, int) and isinstance(kv_offset, int)
+            else None
+        ),
     )
     return _from_bhnd(o.astype(in_dtype), layout), lse
 

@@ -111,19 +111,32 @@ def _dkv_kernel(
     dk_scr, dv_scr,
     *, scale, causal, block_q, block_k, num_q_tiles,
     kv_valid_len, kv_padded_len, window=None,
+    bounded_delta=None, num_q_tiles_total=None, static_offs=None,
 ):
     kv_tile = pl.program_id(2)
-    q_tile = pl.program_id(3)
+    grid_i = pl.program_id(3)
 
-    @pl.when(q_tile == 0)
+    @pl.when(grid_i == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q_off = offs_ref[0]
-    kv_off = offs_ref[1]
+    if static_offs is not None:
+        q_off, kv_off = static_offs
+    else:
+        q_off = offs_ref[0]
+        kv_off = offs_ref[1]
+    if bounded_delta is not None:
+        q_tile = (kv_tile * block_k + bounded_delta) // block_q + grid_i
+        in_range = jnp.logical_and(q_tile >= 0, q_tile < num_q_tiles_total)
+    else:
+        q_tile = grid_i
+        in_range = True
     should_run = _tile_should_run(q_tile, kv_tile, block_q, block_k,
                                   q_off, kv_off, causal, window)
+    if bounded_delta is not None:
+        should_run = jnp.logical_and(should_run, in_range) \
+            if not isinstance(should_run, bool) else in_range
 
     @pl.when(should_run)
     def _compute():
@@ -154,7 +167,7 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(q_tile == num_q_tiles - 1)
+    @pl.when(grid_i == num_q_tiles - 1)
     def _store():
         dk_ref[0, 0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
@@ -167,18 +180,31 @@ def _dq_kernel(
     dq_scr,
     *, scale, causal, block_q, block_k, num_kv_tiles,
     kv_valid_len, kv_padded_len, window=None,
+    bounded_delta=None, num_kv_tiles_total=None, static_offs=None,
 ):
     q_tile = pl.program_id(2)
-    kv_tile = pl.program_id(3)
+    grid_j = pl.program_id(3)
 
-    @pl.when(kv_tile == 0)
+    @pl.when(grid_j == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q_off = offs_ref[0]
-    kv_off = offs_ref[1]
+    if static_offs is not None:
+        q_off, kv_off = static_offs
+    else:
+        q_off = offs_ref[0]
+        kv_off = offs_ref[1]
+    if bounded_delta is not None:
+        kv_tile = (q_tile * block_q + bounded_delta) // block_k + grid_j
+        in_range = jnp.logical_and(kv_tile >= 0, kv_tile < num_kv_tiles_total)
+    else:
+        kv_tile = grid_j
+        in_range = True
     should_run = _tile_should_run(q_tile, kv_tile, block_q, block_k,
                                   q_off, kv_off, causal, window)
+    if bounded_delta is not None:
+        should_run = jnp.logical_and(should_run, in_range) \
+            if not isinstance(should_run, bool) else in_range
 
     @pl.when(should_run)
     def _compute():
@@ -211,34 +237,40 @@ def _dq_kernel(
         def _zero_dbias():
             dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
 
-    @pl.when(kv_tile == num_kv_tiles - 1)
+    @pl.when(grid_j == num_kv_tiles - 1)
     def _store():
         dq_ref[0, 0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
 
 
-def _common_specs(B, H, block_q, block_k, D, bias, order):
+def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None):
     """Build in_specs/index fns shared by both bwd kernels.
 
     ``order`` is "kv_major" (grid (B,H,Tk,Tq)) or "q_major" (grid (B,H,Tq,Tk)).
+    ``minor_tile_of(major, minor)``: bounded-window grids remap the minor grid
+    index to the true tile index (clamped at the sequence edges).
     """
+    if minor_tile_of is None:
+        minor_tile_of = lambda major, minor: minor
     if order == "kv_major":
         def qi(b, h, j, i):
-            return (b, h, i, 0)
+            return (b, h, minor_tile_of(j, i), 0)
 
         def kvi(b, h, j, i):
             return (b, h, j, 0)
 
         def bi_factory(Bb, Hb):
-            return lambda b, h, j, i: (b if Bb > 1 else 0, h if Hb > 1 else 0, i, j)
+            return lambda b, h, j, i: (b if Bb > 1 else 0, h if Hb > 1 else 0,
+                                       minor_tile_of(j, i), j)
     else:
         def qi(b, h, i, j):
             return (b, h, i, 0)
 
         def kvi(b, h, i, j):
-            return (b, h, j, 0)
+            return (b, h, minor_tile_of(i, j), 0)
 
         def bi_factory(Bb, Hb):
-            return lambda b, h, i, j: (b if Bb > 1 else 0, h if Hb > 1 else 0, i, j)
+            return lambda b, h, i, j: (b if Bb > 1 else 0, h if Hb > 1 else 0,
+                                       i, minor_tile_of(i, j))
 
     specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets
@@ -261,12 +293,12 @@ def _common_specs(B, H, block_q, block_k, D, bias, order):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
-                     "kv_valid_len", "interpret", "window"),
+                     "kv_valid_len", "interpret", "window", "static_offsets"),
 )
 def dkv_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     *, scale, causal, block_q, block_k, kv_valid_len, interpret=None,
-    window=None,
+    window=None, static_offsets=None,
 ):
     """dK/dV kernel launch. All seq dims pre-padded; H == Hkv (GQA expanded
     by the wrapper). ``lse_rep``/``delta_rep``: [B,H,Nqp,128] lane-replicated.
@@ -276,9 +308,28 @@ def dkv_padded(
     B, H, Nqp, D = q.shape
     Nkp = k.shape[2]
     tq, tk = Nqp // block_q, Nkp // block_k
-    grid = (B, H, tk, tq)
 
-    specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias, "kv_major")
+    wl, wr = window if window is not None else (-1, -1)
+    wr_eff = 0 if causal else wr
+    bounded = (static_offsets is not None and wl >= 0
+               and (causal or wr >= 0) and bias is None)
+    q_w = (block_k + wl + wr_eff - 1) // block_q + 2 if bounded else tq
+    if bounded and q_w >= tq:
+        bounded = False
+        q_w = tq
+    if bounded:
+        # per KV tile j, q rows in [j·bk − wr_eff + (ko−qo), j·bk+bk−1+wl+…]
+        delta = static_offsets[1] - static_offsets[0] - wr_eff
+
+        def q_tile_of(j, i):
+            return jnp.clip((j * block_k + delta) // block_q + i, 0, tq - 1)
+    else:
+        delta = None
+        q_tile_of = None
+    grid = (B, H, tk, q_w)
+
+    specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias,
+                                   "kv_major", q_tile_of)
     args = [offsets.astype(jnp.int32), q, k, v, do, lse_rep, delta_rep]
     if bias is not None:
         args.append(bias)
@@ -293,8 +344,9 @@ def dkv_padded(
         _dkv_kernel(
             offs, qr, kr, vr, dor, lser, deltar, bias_r, dk_r, dv_r, dk_s, dv_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-            num_q_tiles=tq, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
-            window=window,
+            num_q_tiles=q_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+            window=window, bounded_delta=delta, num_q_tiles_total=tq,
+            static_offs=static_offsets,
         )
 
     dk, dv = pl.pallas_call(
@@ -332,12 +384,13 @@ def dkv_padded(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
-                     "kv_valid_len", "want_dbias", "interpret", "window"),
+                     "kv_valid_len", "want_dbias", "interpret", "window",
+                     "static_offsets"),
 )
 def dq_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     *, scale, causal, block_q, block_k, kv_valid_len,
-    want_dbias=False, interpret=None, window=None,
+    want_dbias=False, interpret=None, window=None, static_offsets=None,
 ):
     """dQ kernel launch (grid over Q tiles — no dQ races by construction).
 
@@ -350,9 +403,29 @@ def dq_padded(
     B, H, Nqp, D = q.shape
     Nkp = k.shape[2]
     tq, tk = Nqp // block_q, Nkp // block_k
-    grid = (B, H, tq, tk)
 
-    specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias, "q_major")
+    wl, wr = window if window is not None else (-1, -1)
+    wr_eff = 0 if causal else wr
+    # bounded grid would leave out-of-window dbias blocks unwritten — keep
+    # the full (predicated) grid whenever dbias/bias is involved
+    bounded = (static_offsets is not None and wl >= 0
+               and (causal or wr >= 0) and bias is None and not want_dbias)
+    kv_w = (block_q + wl + wr_eff - 1) // block_k + 2 if bounded else tk
+    if bounded and kv_w >= tk:
+        bounded = False
+        kv_w = tk
+    if bounded:
+        delta = static_offsets[0] - static_offsets[1] - wl
+
+        def kv_tile_of(i, j):
+            return jnp.clip((i * block_q + delta) // block_k + j, 0, tk - 1)
+    else:
+        delta = None
+        kv_tile_of = None
+    grid = (B, H, tq, kv_w)
+
+    specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias,
+                                   "q_major", kv_tile_of)
     args = [offsets.astype(jnp.int32), q, k, v, do, lse_rep, delta_rep]
     if bias is not None:
         args.append(bias)
@@ -381,8 +454,9 @@ def dq_padded(
         _dq_kernel(
             offs, qr, kr, vr, dor, lser, deltar, bias_r, dq_r, dbias_r, dq_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-            num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
-            window=window,
+            num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+            window=window, bounded_delta=delta, num_kv_tiles_total=tk,
+            static_offs=static_offsets,
         )
 
     outs = pl.pallas_call(

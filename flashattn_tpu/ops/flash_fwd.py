@@ -66,18 +66,36 @@ def _fwd_kernel(
     kv_padded_len: int,
     mask_value: float,
     window: tuple[int, int] | None = None,
+    bounded_delta: int | None = None,
+    num_kv_tiles_total: int | None = None,
+    static_offs: tuple[int, int] | None = None,
 ):
     q_tile = pl.program_id(2)
-    kv_tile = pl.program_id(3)
+    grid_j = pl.program_id(3)
 
-    @pl.when(kv_tile == 0)
+    @pl.when(grid_j == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q_off = offs_ref[0]
-    kv_off = offs_ref[1]
+    if static_offs is not None:
+        q_off, kv_off = static_offs
+    else:
+        q_off = offs_ref[0]
+        kv_off = offs_ref[1]
+
+    if bounded_delta is not None:
+        # Bounded-KV grid (windowed attention, static offsets): grid axis 3
+        # spans only the tiles that can intersect the window; the true KV
+        # tile index is recovered from the q tile. Out-of-range j (clamped
+        # DMA at the sequence edges) is predicated off.
+        kv_tile = (q_tile * block_q + bounded_delta) // block_k + grid_j
+        in_range = jnp.logical_and(kv_tile >= 0,
+                                   kv_tile < num_kv_tiles_total)
+    else:
+        kv_tile = grid_j
+        in_range = True
 
     wl, wr = window if window is not None else (-1, -1)
     if causal or wr >= 0:
@@ -96,6 +114,9 @@ def _fwd_kernel(
         in_window = last_kv_pos >= first_q_pos - wl
         should_run = jnp.logical_and(should_run, in_window) \
             if not isinstance(should_run, bool) else in_window
+    if bounded_delta is not None:
+        should_run = jnp.logical_and(should_run, in_range) \
+            if not isinstance(should_run, bool) else in_range
 
     @pl.when(should_run)
     def _compute():
@@ -169,7 +190,7 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(kv_tile == num_kv_tiles - 1)
+    @pl.when(grid_j == num_kv_tiles - 1)
     def _store():
         l = l_scr[...]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -183,7 +204,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "scale", "causal", "block_q", "block_k", "kv_valid_len",
-        "return_lse", "interpret", "num_heads_q", "window",
+        "return_lse", "interpret", "num_heads_q", "window", "static_offsets",
     ),
 )
 def fwd_padded(
@@ -204,11 +225,18 @@ def fwd_padded(
     num_heads_q: int,
     interpret: bool | None = None,
     window: tuple[int, int] | None = None,
+    static_offsets: tuple[int, int] | None = None,
 ):
     """Launch the forward kernel on pre-padded, canonical-layout inputs.
 
     Host-side padding/slicing lives in :mod:`flashattn_tpu.ops.flash` (the
     role of forward_fp16's pad/slice prologue, kernel_fp16.cu:761-796).
+
+    When ``static_offsets`` (compile-time q/kv offsets) are given AND the
+    window bounds both sides (left ≥ 0 and causal or right ≥ 0), the KV grid
+    axis is *bounded*: it spans only the tiles a q tile can see, so cost
+    scales with the window instead of Nk (no per-skipped-tile program
+    overhead).
     """
     if interpret is None:
         interpret = platform.pallas_interpret_default()
@@ -217,14 +245,37 @@ def fwd_padded(
     assert Nqp % block_q == 0 and Nkp % block_k == 0, (Nqp, block_q, Nkp, block_k)
     assert Hq == num_heads_q
     tq, tk = Nqp // block_q, Nkp // block_k
-    grid = (B, Hq, tq, tk)
     q_hd_ratio = Hq // Hkv
+
+    wl, wr = window if window is not None else (-1, -1)
+    bounded = (
+        static_offsets is not None and wl >= 0 and (causal or wr >= 0)
+    )
+    if bounded:
+        wr_eff = 0 if causal else wr
+        kv_w = (block_q + wl + wr_eff - 1) // block_k + 2
+        if kv_w >= tk:
+            bounded = False  # window covers (almost) all tiles — no benefit,
+            # and a clamped narrower grid would miss coverage at the edges
+    if bounded:
+        delta = static_offsets[0] - static_offsets[1] - wl
+        grid = (B, Hq, tq, kv_w)
+
+        def kv_tile_of(i, j):
+            return jnp.clip((i * block_q + delta) // block_k + j, 0, tk - 1)
+    else:
+        kv_w = tk
+        delta = None
+        grid = (B, Hq, tq, tk)
+
+        def kv_tile_of(i, j):
+            return j
 
     def q_index(b, h, i, j):
         return (b, h, i, 0)
 
     def kv_index(b, h, i, j):
-        return (b, h // q_hd_ratio, j, 0)
+        return (b, h // q_hd_ratio, kv_tile_of(i, j), 0)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets
@@ -237,7 +288,7 @@ def fwd_padded(
         Bb, Hb = bias.shape[0], bias.shape[1]
 
         def bias_index(b, h, i, j):
-            return (b if Bb > 1 else 0, h if Hb > 1 else 0, i, j)
+            return (b if Bb > 1 else 0, h if Hb > 1 else 0, i, kv_tile_of(i, j))
 
         in_specs.append(
             pl.BlockSpec((1, 1, block_q, block_k), bias_index,
@@ -246,7 +297,7 @@ def fwd_padded(
         args.append(bias)
 
     def scale_index(b, h, i, j):
-        return (b, h // q_hd_ratio, 0, j)
+        return (b, h // q_hd_ratio, 0, kv_tile_of(i, j))
 
     for sc in (k_scale, v_scale):
         if sc is not None:
@@ -294,15 +345,18 @@ def fwd_padded(
             offs, qr, kr, vr, bias_r, ks_r, vs_r, o_r, lse_r,
             m_scr, l_scr, acc_scr,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-            num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+            num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             mask_value=DEFAULT_MASK_VALUE, window=window,
+            bounded_delta=delta, num_kv_tiles_total=tk,
+            static_offs=static_offsets,
         )
 
     flops_per_prog = 4 * block_q * block_k * D  # QK^T + PV
     cost = pl.CostEstimate(
-        flops=int(flops_per_prog * B * Hq * tq * tk * (0.5 if causal else 1.0)),
+        flops=int(flops_per_prog * B * Hq * tq * kv_w
+                  * (0.5 if (causal and not bounded) else 1.0)),
         bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-        transcendentals=B * Hq * Nqp * Nkp,
+        transcendentals=B * Hq * Nqp * min(Nkp, kv_w * block_k),
     )
 
     outs = pl.pallas_call(

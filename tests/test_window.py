@@ -60,3 +60,38 @@ def test_window_with_offsets():
     want = attention_reference(q, k, v, window=(80, 0), q_offset=256,
                                kv_offset=128)
     assert float(jnp.max(jnp.abs(got - want))) < 2e-5
+
+
+def test_window_bounded_grid_path():
+    """Small blocks force the bounded-KV grid (kv_w < tk): numerics must
+    match the oracle exactly across edge tiles."""
+    from flashattn_tpu import BlockSizes
+
+    bs = BlockSizes(block_q=128, block_k=128, block_q_dkv=128,
+                    block_k_dkv=128, block_q_dq=128, block_k_dq=128)
+    q, k, v = make_qkv(jax.random.PRNGKey(4), 1, 2, 1024, 64)
+    for window, causal in (((100, 0), False), ((250, -1), True),
+                           ((64, 32), False)):
+        got = flash_attention(q, k, v, window=window, causal=causal,
+                              block_sizes=bs)
+        want = attention_reference(q, k, v, window=window, causal=causal)
+        assert float(jnp.max(jnp.abs(got - want))) < 2e-5, (window, causal)
+
+
+def test_window_bounded_grid_grads():
+    """Bounded bwd grids (small blocks, kv_w < tk): grads must match the
+    oracle, including tiles clamped at the sequence edges."""
+    from flashattn_tpu import BlockSizes
+
+    bs = BlockSizes(block_q=128, block_k=128, block_q_dkv=128,
+                    block_k_dkv=128, block_q_dq=128, block_k_dq=128)
+    q, k, v = make_qkv(jax.random.PRNGKey(5), 1, 2, 1024, 64)
+    for window, causal in (((100, 0), False), ((250, -1), True)):
+        g = jax.grad(lambda q, k, v: (flash_attention(
+            q, k, v, window=window, causal=causal, block_sizes=bs) ** 2).sum(),
+            (0, 1, 2))(q, k, v)
+        gw = jax.grad(lambda q, k, v: (attention_reference(
+            q, k, v, window=window, causal=causal)
+            .astype(jnp.float32) ** 2).sum(), (0, 1, 2))(q, k, v)
+        for a, b in zip(g, gw):
+            assert float(jnp.max(jnp.abs(a - b))) < 5e-4, (window, causal)
