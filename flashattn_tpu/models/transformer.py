@@ -43,6 +43,9 @@ class TransformerConfig:
     d_head: int = 64
     d_ff: int = 1408
     rope_theta: float = 10000.0
+    # Mistral-style sliding-window attention: each token attends to at most
+    # the previous `sliding_window` tokens (None = full causal attention)
+    sliding_window: int | None = None
     dtype: Any = jnp.bfloat16
 
 
@@ -120,9 +123,12 @@ def transformer_forward(params, tokens, cfg: TransformerConfig,
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
 
+    window = (cfg.sliding_window - 1, -1) if cfg.sliding_window else None
+
     def attn(q, k, v):
         return flash_attention(
-            q, k, v, causal=True, layout="BNHD", interpret=interpret
+            q, k, v, causal=True, layout="BNHD", interpret=interpret,
+            window=window,
         )
 
     for layer in params["layers"]:
@@ -182,9 +188,12 @@ def decode_step(params, cache, token, cfg: TransformerConfig,
     x = params["embed"][token][:, None]  # [B, 1, D]
     positions = jnp.broadcast_to(pos[None, None], (B, 1))
     max_len = cache["k"][0].shape[1]
-    # additive mask for not-yet-written cache slots
+    # additive mask for not-yet-written cache slots (and, with a sliding
+    # window, slots that have scrolled out of the window)
     slot = jnp.arange(max_len)[None, None, None, :]
     live = slot <= pos  # include the token being written this step
+    if cfg.sliding_window:
+        live = live & (slot > pos - cfg.sliding_window)
     maskbias = jnp.where(live, 0.0, -1e9).astype(jnp.float32)
 
     quantized = "k_scale" in cache

@@ -95,3 +95,36 @@ def test_window_bounded_grid_grads():
             .astype(jnp.float32) ** 2).sum(), (0, 1, 2))(q, k, v)
         for a, b in zip(g, gw):
             assert float(jnp.max(jnp.abs(a - b))) < 5e-4, (window, causal)
+
+
+def test_transformer_sliding_window():
+    """LM with sliding_window: teacher-forced logits must equal a model with
+    an equivalent additive band mask; decode must match teacher forcing."""
+    import dataclasses
+
+    from flashattn_tpu.models.transformer import (
+        TransformerConfig, decode_step, init_kv_cache, init_transformer,
+        transformer_forward,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=1, n_heads=2, n_kv_heads=2,
+        d_head=16, d_ff=64, dtype=jnp.float32, sliding_window=8,
+    )
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 24), 0, 64)
+    logits = transformer_forward(params, toks, cfg)
+
+    # decode with the windowed cache mask must reproduce the same logits
+    cache = init_kv_cache(cfg, 1, 24)
+    step = jax.jit(lambda c, t: decode_step(params, c, t, cfg))
+    errs = []
+    for t in range(12):
+        lg, cache = step(cache, toks[:, t])
+        errs.append(float(jnp.max(jnp.abs(lg - logits[:, t]))))
+    assert max(errs) < 1e-4, errs
+
+    # and it must differ from the full-causal model (window actually binds)
+    cfg_full = dataclasses.replace(cfg, sliding_window=None)
+    logits_full = transformer_forward(params, toks, cfg_full)
+    assert float(jnp.max(jnp.abs(logits - logits_full))) > 1e-3
