@@ -64,7 +64,7 @@ def _roofline_call(a, b, *, iters, size, interpret):
 
 
 def measure_mxu_peak_tflops(
-    *, size: int = 512, iters: int = 256, dtype=jnp.bfloat16,
+    *, size: int = 512, iters: int = 1024, dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ) -> float:
     """Measured MXU TFLOP/s upper bound on this chip (bf16 by default)."""
