@@ -129,10 +129,10 @@ def _fwd_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # log2 domain: fold log2(e) into the softmax scale once per tile so
-        # the per-element exponentials are bare exp2 (the reference folds the
-        # same way, kernel_fp16.cu:827); converted back at the LSE epilogue.
-        s *= scale * LOG2E
+        # log2 domain: the softmax scale (×log2 e) is folded into Q by the
+        # host wrapper — a once-per-element scaling instead of a per-KV-step
+        # (block_q, block_k) VPU pass here (the reference folds the scale the
+        # same way, kernel_fp16.cu:827); LSE converts back at the epilogue.
         if k_scale_ref is not None:
             # Quantized K: per-token dequant folded as a *column* scaling of
             # the scores, s_j·(q·k_j) = q·(s_j k_j) — a lane-aligned broadcast
@@ -240,6 +240,10 @@ def fwd_padded(
     """
     if interpret is None:
         interpret = platform.pallas_interpret_default()
+    # Fold the softmax scale (in the kernel's log2 domain) into Q: one
+    # elementwise pass XLA-fuses into the surrounding graph, instead of a
+    # (bq, bk) VPU pass per KV step inside the kernel.
+    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     B, Hq, Nqp, D = q.shape
     _, Hkv, Nkp, _ = k.shape
     assert Nqp % block_q == 0 and Nkp % block_k == 0, (Nqp, block_q, Nkp, block_k)
