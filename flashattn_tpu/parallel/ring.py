@@ -49,18 +49,19 @@ def _merge(o, lse, o_p, lse_p):
     return o * w_old + o_p * w_new, lse_new
 
 
-def _partial_fwd(q, k_blk, v_blk, q_off, kv_off, *, causal, scale, blocks):
+def _partial_fwd(q, k_blk, v_blk, q_off, kv_off, *, causal, scale, blocks,
+                 window=None):
     offsets = jnp.stack([jnp.asarray(q_off, jnp.int32),
                          jnp.asarray(kv_off, jnp.int32)])
     o_p, lse_p = _flash_core_fwd_impl(
         q, k_blk, v_blk, None, offsets, scale, causal, blocks,
-        k_blk.shape[2], None, return_lse=True,
+        k_blk.shape[2], None, return_lse=True, window=window,
     )
     return o_p.astype(jnp.float32), lse_p
 
 
 def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
-                 causal, scale, blocks):
+                 causal, scale, blocks, window=None):
     """Per-chunk-pair (dQ, dK, dV) via the single-device bwd kernels, with
     the *global* LSE/delta so partial gradients sum exactly."""
     B, H, nq, D = q.shape
@@ -83,7 +84,7 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
         _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
         lse_rep, delta_rep, None, offsets,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
-        kv_valid_len=nk,
+        kv_valid_len=nk, window=window,
     )
     dk = dk[:, :, :nk, :D].astype(jnp.float32)
     dv = dv[:, :, :nk, :D].astype(jnp.float32)
@@ -102,19 +103,19 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
         _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
         lse_rep, delta_rep, None, offsets,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
-        kv_valid_len=nk,
+        kv_valid_len=nk, window=window,
     )
     dq = dq[:, :, :nq, :D].astype(jnp.float32)
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _ring_core(q, k, v, axis_name, n_dev, causal, scale):
-    o, _ = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ring_core(q, k, v, axis_name, n_dev, causal, scale, window):
+    o, _ = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window)
     return o
 
 
-def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale):
+def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
     B, H, nq, D = q.shape
     nk = k.shape[2]
     idx = jax.lax.axis_index(axis_name)
@@ -131,18 +132,18 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale):
         def compute(o, lse, k_blk=k_blk, v_blk=v_blk, kv_off=kv_off):
             o_p, lse_p = _partial_fwd(
                 q, k_blk, v_blk, q_off, kv_off,
-                causal=causal, scale=scale, blocks=blocks,
+                causal=causal, scale=scale, blocks=blocks, window=window,
             )
             return _merge(o, lse, o_p, lse_p)
 
-        if causal:
-            # Chunks entirely in the causal future contribute nothing: skip.
-            needed = kv_off <= q_off + nq - 1
+        needed = _chunk_needed(q_off, kv_off, nq, nk, causal, window)
+        if needed is True:
+            o, lse = compute(o, lse)
+        else:
+            # Chunks entirely outside the causal/window region: skip.
             o, lse = jax.lax.cond(
                 needed, compute, lambda o, lse: (o, lse), o, lse
             )
-        else:
-            o, lse = compute(o, lse)
 
         if step < n_dev - 1:
             k_blk = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
@@ -150,12 +151,25 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale):
     return o.astype(q.dtype), lse
 
 
-def _ring_core_fwd(q, k, v, axis_name, n_dev, causal, scale):
-    o, lse = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale)
+def _chunk_needed(q_off, kv_off, nq, nk, causal, window):
+    """Whole-chunk skip predicate for the ring (conservative)."""
+    wl, wr = window if window is not None else (-1, -1)
+    needed = True
+    if causal or wr >= 0:
+        bound = q_off + nq - 1 + (wr if (wr >= 0 and not causal) else 0)
+        needed = kv_off <= bound
+    if wl >= 0:
+        in_win = kv_off + nk - 1 >= q_off - wl
+        needed = in_win if needed is True else jnp.logical_and(needed, in_win)
+    return needed
+
+
+def _ring_core_fwd(q, k, v, axis_name, n_dev, causal, scale, window):
+    o, lse = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window)
     return o, (q, k, v, o, lse)
 
 
-def _ring_core_bwd(axis_name, n_dev, causal, scale, residuals, g):
+def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
     q, k, v, o, lse = residuals
     B, H, nq, D = q.shape
     nk = k.shape[2]
@@ -180,18 +194,18 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, residuals, g):
                     kv_off=kv_off):
             dq_p, dk_p, dv_p = _chunk_grads(
                 q, k_blk, v_blk, do, lse, delta, q_off, kv_off,
-                causal=causal, scale=scale, blocks=blocks,
+                causal=causal, scale=scale, blocks=blocks, window=window,
             )
             return dq + dq_p, dk_acc + dk_p, dv_acc + dv_p
 
-        if causal:
-            needed = kv_off <= q_off + nq - 1
+        needed = _chunk_needed(q_off, kv_off, nq, nk, causal, window)
+        if needed is True:
+            dq, dk_acc, dv_acc = compute(dq, dk_acc, dv_acc)
+        else:
             dq, dk_acc, dv_acc = jax.lax.cond(
                 needed, compute, lambda a, b, c: (a, b, c),
                 dq, dk_acc, dv_acc,
             )
-        else:
-            dq, dk_acc, dv_acc = compute(dq, dk_acc, dv_acc)
 
         if step < n_dev - 1:
             k_blk = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
@@ -216,6 +230,7 @@ def ring_attention(
     axis_size: int,
     causal: bool = False,
     scale: float | None = None,
+    window: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Sequence-parallel fused attention (call *inside* ``shard_map``).
 
@@ -234,6 +249,7 @@ def ring_attention(
     o = _ring_core(
         q.astype(kdt), k.astype(kdt), v.astype(kdt),
         axis_name, int(axis_size), bool(causal), float(scale),
+        tuple(int(w) for w in window) if window is not None else None,
     )
     return o.astype(in_dtype)
 
@@ -246,6 +262,7 @@ def ring_attention_sharded(
     head_axis: str | None = "model",
     causal: bool = False,
     scale: float | None = None,
+    window: tuple[int, int] | None = None,
 ):
     """Jitted global-shape entry point: shards sequence on ``axis`` (plus
     optional batch/head sharding) and runs :func:`ring_attention` on each
@@ -256,7 +273,8 @@ def ring_attention_sharded(
 
     def local(q, k, v):
         return ring_attention(
-            q, k, v, axis_name=axis, axis_size=n, causal=causal, scale=scale
+            q, k, v, axis_name=axis, axis_size=n, causal=causal, scale=scale,
+            window=window,
         )
 
     mapped = jax.shard_map(

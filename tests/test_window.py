@@ -128,3 +128,23 @@ def test_transformer_sliding_window():
     cfg_full = dataclasses.replace(cfg, sliding_window=None)
     logits_full = transformer_forward(params, toks, cfg_full)
     assert float(jnp.max(jnp.abs(logits - logits_full))) > 1e-3
+
+
+def test_ring_attention_window():
+    """Sequence-parallel SWA: ring attention with a window must match the
+    single-device oracle (global absolute-position masking across chunks)."""
+    import pytest
+
+    from flashattn_tpu.parallel import make_mesh
+    from flashattn_tpu.parallel.ring import ring_attention_sharded
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(data=1, model=1, seq=4)
+    B, H, N, D = 1, 2, 512, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(6), B, H, N, D)
+    for window, causal in (((200, 0), False), ((100, -1), True)):
+        fn = ring_attention_sharded(mesh, causal=causal, window=window)
+        got = fn(q, k, v)
+        want = attention_reference(q, k, v, causal=causal, window=window)
+        assert float(jnp.max(jnp.abs(got - want))) < 2e-5, (window, causal)
