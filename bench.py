@@ -31,10 +31,10 @@ def main():
     flops = attention_flops(B, H, N, N, D, causal=False, mode="fwd")
 
     t_ours = time_chained(lambda qq, k, v: flash_attention(qq, k, v), q,
-                          consts=(k, v), iters=32, warmup_iters=8, repeats=2)
+                          consts=(k, v), iters=32, warmup_iters=8, repeats=3)
     t_xla = time_chained(
         lambda qq, k, v: attention_reference(qq, k, v).astype(qq.dtype), q,
-        consts=(k, v), iters=8, warmup_iters=2, repeats=2)
+        consts=(k, v), iters=16, warmup_iters=4, repeats=3)
 
     tflops = flops / t_ours / 1e12
     print(json.dumps({
