@@ -69,6 +69,7 @@ def _fwd_kernel(
     bounded_delta: int | None = None,
     num_kv_tiles_total: int | None = None,
     static_offs: tuple[int, int] | None = None,
+    kv_splits: int = 1,
 ):
     q_tile = pl.program_id(2)
     grid_j = pl.program_id(3)
@@ -121,74 +122,87 @@ def _fwd_kernel(
     @pl.when(should_run)
     def _compute():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        if k.dtype in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype):
-            k = k.astype(q.dtype)
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # log2 domain: the softmax scale (×log2 e) is folded into Q by the
-        # host wrapper — a once-per-element scaling instead of a per-KV-step
-        # (block_q, block_k) VPU pass here (the reference folds the scale the
-        # same way, kernel_fp16.cu:827); LSE converts back at the epilogue.
-        if k_scale_ref is not None:
-            # Quantized K: per-token dequant folded as a *column* scaling of
-            # the scores, s_j·(q·k_j) = q·(s_j k_j) — a lane-aligned broadcast
-            # on (bq, bk), so the int8/fp8 payload never round-trips VMEM in
-            # dequantized form (north-star: in-kernel KV dequant).
-            s *= k_scale_ref[0, 0, 0][None, :]
-        if bias_ref is not None:
-            s += bias_ref[0, 0].astype(jnp.float32) * LOG2E
+        sub_k = block_k // kv_splits
+        # Issue ALL sub-tile QK^T dots up front: each is independent of the
+        # other sub-tiles' softmax, so Mosaic can overlap the next sub-tile's
+        # MXU dot with the current sub-tile's VPU softmax (kv_splits > 1).
+        # The softmax scale (×log2 e) is folded into Q by the host wrapper —
+        # one fused pass instead of a per-step (bq, bk) scaling here (the
+        # reference folds the scale the same way, kernel_fp16.cu:827).
+        s_parts = []
+        for part in range(kv_splits):
+            k = k_ref[0, 0, part * sub_k:(part + 1) * sub_k, :]
+            if k.dtype in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype):
+                k = k.astype(q.dtype)
+            s_parts.append(jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
 
         need_tail_mask = kv_valid_len != kv_padded_len
         has_window = wl >= 0 or wr >= 0
-        if causal or need_tail_mask or has_window:
-            col_pos = jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            ) + kv_tile * block_k
-            mask = None
-            if need_tail_mask:
-                mask = col_pos < kv_valid_len
-            if causal or has_window:
-                row_pos = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 0
-                ) + q_tile * block_q + q_off
-                col_abs = col_pos + kv_off
-                if causal:
-                    cmask = col_abs <= row_pos
-                    mask = cmask if mask is None else (mask & cmask)
-                if wl >= 0:
-                    wmask = col_abs >= row_pos - wl
-                    mask = wmask if mask is None else (mask & wmask)
-                if wr >= 0:
-                    wmask = col_abs <= row_pos + wr
-                    mask = wmask if mask is None else (mask & wmask)
-            s = jnp.where(mask, s, mask_value)
-
-        m_prev = m_scr[...]                                  # (bq, 128)
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)            # (bq, 1)
-        m_next = jnp.maximum(m_prev, m_cur)                  # (bq, 128)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next[:, :1])                      # (bq, bk)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-
-        acc_scr[...] *= alpha[:, :1]
         v = v_ref[0, 0]
-        if v_scale_ref is not None:
-            # Quantized V: P @ diag(s_v) @ V_q == (P ∘ s_v[None,:]) @ V_q —
-            # again a lane-aligned column scaling, no V dequant round-trip.
-            p = p * v_scale_ref[0, 0, 0][None, :]
         mm_dtype = q_ref.dtype if v.dtype in (
             jnp.int8.dtype, jnp.float8_e4m3fn.dtype) else v.dtype
-        acc_scr[...] += jax.lax.dot(
-            p.astype(mm_dtype), v.astype(mm_dtype),
-            preferred_element_type=jnp.float32,
-        )
+
+        for part in range(kv_splits):
+            s = s_parts[part]
+            col0 = kv_tile * block_k + part * sub_k
+            if k_scale_ref is not None:
+                # Quantized K: per-token dequant folded as a *column* scaling
+                # of the scores, s_j·(q·k_j) = q·(s_j k_j) — lane-aligned, so
+                # the int8/fp8 payload never round-trips VMEM dequantized.
+                s *= k_scale_ref[0, 0, 0][None,
+                                          part * sub_k:(part + 1) * sub_k]
+            if bias_ref is not None:
+                s += bias_ref[
+                    0, 0, :, part * sub_k:(part + 1) * sub_k
+                ].astype(jnp.float32) * LOG2E
+
+            if causal or need_tail_mask or has_window:
+                col_pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, sub_k), 1
+                ) + col0
+                mask = None
+                if need_tail_mask:
+                    mask = col_pos < kv_valid_len
+                if causal or has_window:
+                    row_pos = jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, sub_k), 0
+                    ) + q_tile * block_q + q_off
+                    col_abs = col_pos + kv_off
+                    if causal:
+                        cmask = col_abs <= row_pos
+                        mask = cmask if mask is None else (mask & cmask)
+                    if wl >= 0:
+                        wmask = col_abs >= row_pos - wl
+                        mask = wmask if mask is None else (mask & wmask)
+                    if wr >= 0:
+                        wmask = col_abs <= row_pos + wr
+                        mask = wmask if mask is None else (mask & wmask)
+                s = jnp.where(mask, s, mask_value)
+
+            m_prev = m_scr[...]                                # (bq, 128)
+            l_prev = l_scr[...]
+            m_cur = jnp.max(s, axis=1, keepdims=True)          # (bq, 1)
+            m_next = jnp.maximum(m_prev, m_cur)                # (bq, 128)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])                    # (bq, sub_k)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+
+            acc_scr[...] *= alpha[:, :1]
+            if v_scale_ref is not None:
+                # Quantized V: P @ diag(s_v) @ V == (P ∘ s_v[None,:]) @ V.
+                p = p * v_scale_ref[0, 0, 0][None,
+                                             part * sub_k:(part + 1) * sub_k]
+            acc_scr[...] += jax.lax.dot(
+                p.astype(mm_dtype),
+                v[part * sub_k:(part + 1) * sub_k, :].astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(grid_j == num_kv_tiles - 1)
     def _store():
@@ -205,6 +219,7 @@ def _fwd_kernel(
     static_argnames=(
         "scale", "causal", "block_q", "block_k", "kv_valid_len",
         "return_lse", "interpret", "num_heads_q", "window", "static_offsets",
+        "kv_splits",
     ),
 )
 def fwd_padded(
@@ -226,6 +241,7 @@ def fwd_padded(
     interpret: bool | None = None,
     window: tuple[int, int] | None = None,
     static_offsets: tuple[int, int] | None = None,
+    kv_splits: int | None = None,
 ):
     """Launch the forward kernel on pre-padded, canonical-layout inputs.
 
@@ -240,6 +256,11 @@ def fwd_padded(
     """
     if interpret is None:
         interpret = platform.pallas_interpret_default()
+    if kv_splits is None:
+        # 1024-wide score sub-tiles measured best on v5e: with ≥2 sub-tiles
+        # per block, sub-tile i+1's QK^T (MXU) overlaps sub-tile i's softmax
+        # (VPU): 141 -> 164 TFLOP/s at D=128 (+16%).
+        kv_splits = max(1, block_k // 1024)
     # Fold the softmax scale (in the kernel's log2 domain) into Q: one
     # elementwise pass XLA-fuses into the surrounding graph, instead of a
     # (bq, bk) VPU pass per KV step inside the kernel.
@@ -352,7 +373,7 @@ def fwd_padded(
             num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             mask_value=DEFAULT_MASK_VALUE, window=window,
             bounded_delta=delta, num_kv_tiles_total=tk,
-            static_offs=static_offsets,
+            static_offs=static_offsets, kv_splits=kv_splits,
         )
 
     flops_per_prog = 4 * block_q * block_k * D  # QK^T + PV
