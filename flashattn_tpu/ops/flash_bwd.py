@@ -112,6 +112,7 @@ def _dkv_kernel(
     *, scale, causal, block_q, block_k, num_q_tiles,
     kv_valid_len, kv_padded_len, window=None,
     bounded_delta=None, num_q_tiles_total=None, static_offs=None,
+    q_splits=1,
 ):
     kv_tile = pl.program_id(2)
     grid_i = pl.program_id(3)
@@ -140,32 +141,38 @@ def _dkv_kernel(
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        p, ds = _recompute_p_ds(
-            q, k, v, do, lse_ref[0, 0], delta_ref[0, 0],
-            bias_ref[0, 0] if bias_ref is not None else None,
-            scale=scale, causal=causal,
-            need_tail_mask=kv_valid_len != kv_padded_len,
-            kv_valid_len=kv_valid_len,
-            q_tile=q_tile, kv_tile=kv_tile,
-            block_q=block_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
-            window=window,
-        )
-        # dV += Pᵀ · dO   (reference kernel_fp16.cu:724)
-        dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dK += dSᵀ · Q   (reference kernel_fp16.cu:737; scale folded at store)
-        dk_scr[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # Sub-tile the Q rows: sub-tile i+1's recompute dots (MXU) overlap
+        # sub-tile i's exp (VPU) — same trick as the fwd kernel's kv_splits.
+        sub_q = block_q // q_splits
+        for part in range(q_splits):
+            rows = slice(part * sub_q, (part + 1) * sub_q)
+            q = q_ref[0, 0, rows, :]
+            do = do_ref[0, 0, rows, :]
+            p, ds = _recompute_p_ds(
+                q, k, v, do, lse_ref[0, 0, rows, :], delta_ref[0, 0, rows, :],
+                bias_ref[0, 0, rows, :] if bias_ref is not None else None,
+                scale=scale, causal=causal,
+                need_tail_mask=kv_valid_len != kv_padded_len,
+                kv_valid_len=kv_valid_len,
+                q_tile=(q_tile * block_q + part * sub_q) // sub_q,
+                kv_tile=kv_tile,
+                block_q=sub_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
+                window=window,
+            )
+            # dV += Pᵀ · dO   (reference kernel_fp16.cu:724)
+            dv_scr[...] += jax.lax.dot_general(
+                p.astype(do.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dK += dSᵀ · Q  (reference kernel_fp16.cu:737; scale at store)
+            dk_scr[...] += jax.lax.dot_general(
+                ds.astype(q.dtype), q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(grid_i == num_q_tiles - 1)
     def _store():
@@ -181,6 +188,7 @@ def _dq_kernel(
     *, scale, causal, block_q, block_k, num_kv_tiles,
     kv_valid_len, kv_padded_len, window=None,
     bounded_delta=None, num_kv_tiles_total=None, static_offs=None,
+    kv_splits=1,
 ):
     q_tile = pl.program_id(2)
     grid_j = pl.program_id(3)
@@ -209,26 +217,32 @@ def _dq_kernel(
     @pl.when(should_run)
     def _compute():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        _, ds = _recompute_p_ds(
-            q, k, v_ref[0, 0], do_ref[0, 0], lse_ref[0, 0], delta_ref[0, 0],
-            bias_ref[0, 0] if bias_ref is not None else None,
-            scale=scale, causal=causal,
-            need_tail_mask=kv_valid_len != kv_padded_len,
-            kv_valid_len=kv_valid_len,
-            q_tile=q_tile, kv_tile=kv_tile,
-            block_q=block_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
-            window=window,
-        )
-        if dbias_ref is not None:
-            dbias_ref[0, 0] = ds.astype(dbias_ref.dtype)
-        # dQ += dS · K   (reference kernel_fp16.cu:736 — here with symmetric
-        # scale, applied at store)
-        dq_scr[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        do = do_ref[0, 0]
+        sub_k = block_k // kv_splits
+        for part in range(kv_splits):
+            cols = slice(part * sub_k, (part + 1) * sub_k)
+            k = k_ref[0, 0, cols, :]
+            _, ds = _recompute_p_ds(
+                q, k, v_ref[0, 0, cols, :], do, lse_ref[0, 0],
+                delta_ref[0, 0],
+                bias_ref[0, 0, :, cols] if bias_ref is not None else None,
+                scale=scale, causal=causal,
+                need_tail_mask=kv_valid_len != kv_padded_len,
+                kv_valid_len=kv_valid_len,
+                q_tile=q_tile,
+                kv_tile=(kv_tile * block_k + part * sub_k) // sub_k,
+                block_q=block_q, block_k=sub_k, q_off=q_off, kv_off=kv_off,
+                window=window,
+            )
+            if dbias_ref is not None:
+                dbias_ref[0, 0, :, cols] = ds.astype(dbias_ref.dtype)
+            # dQ += dS · K  (reference kernel_fp16.cu:736 — here with
+            # symmetric scale, applied at store)
+            dq_scr[...] += jax.lax.dot_general(
+                ds.astype(k.dtype), k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     wl_, wr_ = window if window is not None else (-1, -1)
     if (causal or wl_ >= 0 or wr_ >= 0) and dbias_ref is not None:
@@ -293,12 +307,13 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None):
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
-                     "kv_valid_len", "interpret", "window", "static_offsets"),
+                     "kv_valid_len", "interpret", "window", "static_offsets",
+                     "q_splits"),
 )
 def dkv_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     *, scale, causal, block_q, block_k, kv_valid_len, interpret=None,
-    window=None, static_offsets=None,
+    window=None, static_offsets=None, q_splits=None,
 ):
     """dK/dV kernel launch. All seq dims pre-padded; H == Hkv (GQA expanded
     by the wrapper). ``lse_rep``/``delta_rep``: [B,H,Nqp,128] lane-replicated.
@@ -347,6 +362,8 @@ def dkv_padded(
             num_q_tiles=q_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_q_tiles_total=tq,
             static_offs=static_offsets,
+            q_splits=(max(1, block_q // 1024) if q_splits is None
+                      else q_splits),
         )
 
     dk, dv = pl.pallas_call(
@@ -385,12 +402,13 @@ def dkv_padded(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
                      "kv_valid_len", "want_dbias", "interpret", "window",
-                     "static_offsets"),
+                     "static_offsets", "kv_splits"),
 )
 def dq_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     *, scale, causal, block_q, block_k, kv_valid_len,
     want_dbias=False, interpret=None, window=None, static_offsets=None,
+    kv_splits=None,
 ):
     """dQ kernel launch (grid over Q tiles — no dQ races by construction).
 
@@ -457,6 +475,8 @@ def dq_padded(
             num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_kv_tiles_total=tk,
             static_offs=static_offsets,
+            kv_splits=(max(1, block_k // 1024) if kv_splits is None
+                       else kv_splits),
         )
 
     outs = pl.pallas_call(
