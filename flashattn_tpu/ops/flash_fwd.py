@@ -153,8 +153,8 @@ def _fwd_kernel(
                 # Quantized K: per-token dequant folded as a *column* scaling
                 # of the scores, s_j·(q·k_j) = q·(s_j k_j) — lane-aligned, so
                 # the int8/fp8 payload never round-trips VMEM dequantized.
-                s *= k_scale_ref[0, 0, 0][None,
-                                          part * sub_k:(part + 1) * sub_k]
+                s *= k_scale_ref[
+                    0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
             if bias_ref is not None:
                 s += bias_ref[
                     0, 0, :, part * sub_k:(part + 1) * sub_k
@@ -196,8 +196,8 @@ def _fwd_kernel(
             acc_scr[...] *= alpha[:, :1]
             if v_scale_ref is not None:
                 # Quantized V: P @ diag(s_v) @ V == (P ∘ s_v[None,:]) @ V.
-                p = p * v_scale_ref[0, 0, 0][None,
-                                             part * sub_k:(part + 1) * sub_k]
+                p = p * v_scale_ref[
+                    0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
             acc_scr[...] += jax.lax.dot(
                 p.astype(mm_dtype),
                 v[part * sub_k:(part + 1) * sub_k, :].astype(mm_dtype),
