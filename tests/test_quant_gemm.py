@@ -94,3 +94,27 @@ def test_summarize_stats():
     assert abs(s["mean"] - 2.0) < 1e-9
     assert s["min"] == 1.0
     assert abs(s["std"] - np.std([1.0, 2.0, 3.0])) < 1e-9
+
+
+@pytest.mark.tpu
+def test_quantized_attention_compiles_on_tpu():
+    """Mosaic-compiled quantized path (scale-ref slicing lowers differently
+    than in interpret mode — a 1D-gather regression shipped invisibly to the
+    CPU suite once; this pins the compiled path on real hardware)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashattn_tpu.ops.quant import (
+        dequantize_kv, flash_attention_quantized, quantize_kv,
+    )
+    from flashattn_tpu.ops.oracle import attention_reference
+    from flashattn_tpu.utils.testing import make_qkv
+
+    q, k, v = make_qkv(jax.random.PRNGKey(0), 1, 4, 2048, 128,
+                       dtype=jnp.bfloat16)
+    qkv = quantize_kv(k, v, jnp.int8)
+    o = flash_attention_quantized(q, qkv, interpret=False)
+    kd, vd = dequantize_kv(qkv)
+    want = attention_reference(q.astype(jnp.float32), kd.astype(jnp.float32),
+                               vd.astype(jnp.float32))
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - want))) < 2e-2
