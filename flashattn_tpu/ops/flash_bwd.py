@@ -64,9 +64,10 @@ def _recompute_p_ds(
     ``p = exp(S − L)`` is the true normalized probability
     (reference bwd kernel_fp16.cu:690-721); ``ds = p ∘ (dp − Δ)``.
     """
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     s *= scale
     if bias_val is not None:
@@ -98,7 +99,7 @@ def _recompute_p_ds(
     p = jnp.exp(s - lse[:, :1])
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     ds = p * (dp - delta[:, :1])
     return p, ds
@@ -161,17 +162,19 @@ def _dkv_kernel(
                 block_q=sub_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
                 window=window,
             )
+            prec = (jax.lax.Precision.HIGHEST
+                    if q.dtype == jnp.float32 else None)
             # dV += Pᵀ · dO   (reference kernel_fp16.cu:724)
             dv_scr[...] += jax.lax.dot_general(
                 p.astype(do.dtype), do,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             # dK += dSᵀ · Q  (reference kernel_fp16.cu:737; scale at store)
             dk_scr[...] += jax.lax.dot_general(
                 ds.astype(q.dtype), q,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
 
     @pl.when(grid_i == num_q_tiles - 1)
@@ -242,6 +245,8 @@ def _dq_kernel(
                 ds.astype(k.dtype), k,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if q.dtype == jnp.float32 else None),
             )
 
     wl_, wr_ = window if window is not None else (-1, -1)

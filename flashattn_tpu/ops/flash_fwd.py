@@ -129,6 +129,11 @@ def _fwd_kernel(
         # The softmax scale (×log2 e) is folded into Q by the host wrapper —
         # one fused pass instead of a per-step (bq, bk) scaling here (the
         # reference folds the scale the same way, kernel_fp16.cu:827).
+        # f32 inputs: the MXU demotes f32 dot operands to bf16 by default —
+        # request full f32 (bf16x-pass) matmuls so the f32 path is actually
+        # f32 (measured: default f32 maxdiff vs oracle was bf16-level 7e-3).
+        prec = (jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32 else None)
         s_parts = []
         for part in range(kv_splits):
             k = k_ref[0, 0, part * sub_k:(part + 1) * sub_k, :]
@@ -137,7 +142,7 @@ def _fwd_kernel(
             s_parts.append(jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             ))
 
         need_tail_mask = kv_valid_len != kv_padded_len
@@ -201,7 +206,7 @@ def _fwd_kernel(
             acc_scr[...] += jax.lax.dot(
                 p.astype(mm_dtype),
                 v[part * sub_k:(part + 1) * sub_k, :].astype(mm_dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
 
     @pl.when(grid_j == num_kv_tiles - 1)

@@ -66,7 +66,8 @@ def attention_reference(
         kf = jnp.repeat(kf, rep, axis=1)
         vf = jnp.repeat(vf, rep, axis=1)
 
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                   precision=jax.lax.Precision.HIGHEST) * scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     if causal or window is not None:
@@ -83,7 +84,8 @@ def attention_reference(
                 keep &= kv_pos <= q_pos + wr
         s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vf,
+                   precision=jax.lax.Precision.HIGHEST)
     return o.astype(orig_dtype)
 
 
@@ -116,7 +118,8 @@ def attention_reference_with_lse(
         rep = H // Hkv
         kf = jnp.repeat(kf, rep, axis=1)
         vf = jnp.repeat(vf, rep, axis=1)
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                   precision=jax.lax.Precision.HIGHEST) * scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     if causal:
@@ -125,5 +128,6 @@ def attention_reference_with_lse(
         s = jnp.where(kv_pos <= q_pos, s, DEFAULT_MASK_VALUE)
     lse = jax.scipy.special.logsumexp(s, axis=-1)
     p = jnp.exp(s - lse[..., None])
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vf,
+                   precision=jax.lax.Precision.HIGHEST)
     return o.astype(q.dtype), lse
