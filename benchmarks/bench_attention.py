@@ -54,27 +54,29 @@ def jax_pallas_fa(q, k, v, causal, layout="BHND"):
     return jfa(q, k, v, causal=causal)
 
 
-def ours(q, k, v, causal, layout="BHND"):
-    return flash_attention(q, k, v, causal=causal, layout=layout)
+def ours(q, k, v, causal, layout="BHND", window=None):
+    return flash_attention(q, k, v, causal=causal, layout=layout,
+                           window=window)
 
 
 IMPLS = {"xla": xla_sdpa, "jaxfa": jax_pallas_fa, "ours": ours}
 
 
 def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
-              iters=32, layout="BHND"):
+              iters=32, layout="BHND", window=None):
     fn = IMPLS[impl_name]
+    kw = {"window": window} if window is not None else {}
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
     if layout == "BNHD":  # arrays physically stored [B, N, H, D]
         q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
     if mode == "fwd":
-        step = lambda qq, k, v: fn(qq, k, v, causal, layout)
+        step = lambda qq, k, v: fn(qq, k, v, causal, layout, **kw)
     else:
         def step(qq, k, v):
             # grads w.r.t. ALL of q,k,v — grad over q alone lets XLA
             # dead-code-eliminate the dK/dV kernel entirely.
             dq, dk, dv = jax.grad(
-                lambda x, kk, vv: fn(x, kk, vv, causal, layout)
+                lambda x, kk, vv: fn(x, kk, vv, causal, layout, **kw)
                 .astype(jnp.float32).sum(),
                 argnums=(0, 1, 2),
             )(qq, k, v)
@@ -97,6 +99,8 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
         "layout": layout,
         "ms": round(t * 1e3, 4), "tflops": round(flops / t / 1e12, 2),
     }
+    if window is not None:
+        rec["window"] = list(window)
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -113,6 +117,8 @@ def main():
                          "unaligned-N graphs, README.md:72-102)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "float16"])
+    ap.add_argument("--window", type=int, default=None,
+                    help="left sliding-window size (ours only; causal-style)")
     args = ap.parse_args()
 
     impls = args.impls.split(",")
@@ -132,6 +138,14 @@ def main():
         n_sweep = [n + 1 for n in n_sweep]
         d_sweep = [d - 17 for d in d_sweep]
 
+    window = (args.window - 1, 0) if args.window else None
+    if window is not None:
+        # long-context SWA sweep: cost should scale with the window, not N²
+        for N in (4096, 8192, 16384, 32768):
+            bench_one("ours", B, H, N, 128, causal=args.causal,
+                      mode=args.mode, layout=args.layout, dtype=dtype,
+                      window=window)
+        return
     for N in n_sweep:
         for impl in impls:
             if impl == "xla" and N > 4096:
