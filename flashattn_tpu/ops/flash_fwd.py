@@ -134,6 +134,22 @@ def _fwd_kernel(
         # f32 (measured: default f32 maxdiff vs oracle was bf16-level 7e-3).
         prec = (jax.lax.Precision.HIGHEST
                 if q.dtype == jnp.float32 else None)
+        def part_should_run(part):
+            # per-sub-tile skip (finer than the whole-block predicate):
+            # diagonal-adjacent blocks only compute their in-causal/-window
+            # sub-tiles
+            col0 = (kv_tile * block_k + part * sub_k) + kv_off
+            run = None
+            if causal or wr >= 0:
+                last_q_pos = q_tile * block_q + (block_q - 1) + q_off
+                bound = last_q_pos + (wr if (wr >= 0 and not causal) else 0)
+                run = col0 <= bound
+            if wl >= 0:
+                first_q_pos = q_tile * block_q + q_off
+                in_win = col0 + (sub_k - 1) >= first_q_pos - wl
+                run = in_win if run is None else jnp.logical_and(run, in_win)
+            return run
+
         s_parts = []
         for part in range(kv_splits):
             k = k_ref[0, 0, part * sub_k:(part + 1) * sub_k, :]
@@ -152,62 +168,73 @@ def _fwd_kernel(
             jnp.int8.dtype, jnp.float8_e4m3fn.dtype) else v.dtype
 
         for part in range(kv_splits):
-            s = s_parts[part]
-            col0 = kv_tile * block_k + part * sub_k
-            if k_scale_ref is not None:
-                # Quantized K: per-token dequant folded as a *column* scaling
-                # of the scores, s_j·(q·k_j) = q·(s_j k_j) — lane-aligned, so
-                # the int8/fp8 payload never round-trips VMEM dequantized.
-                s *= k_scale_ref[
-                    0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
-            if bias_ref is not None:
-                s += bias_ref[
-                    0, 0, :, part * sub_k:(part + 1) * sub_k
-                ].astype(jnp.float32) * LOG2E
+            run_part = part_should_run(part) if kv_splits > 1 else None
 
-            if causal or need_tail_mask or has_window:
-                col_pos = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, sub_k), 1
-                ) + col0
-                mask = None
-                if need_tail_mask:
-                    mask = col_pos < kv_valid_len
-                if causal or has_window:
-                    row_pos = jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, sub_k), 0
-                    ) + q_tile * block_q + q_off
-                    col_abs = col_pos + kv_off
-                    if causal:
-                        cmask = col_abs <= row_pos
-                        mask = cmask if mask is None else (mask & cmask)
-                    if wl >= 0:
-                        wmask = col_abs >= row_pos - wl
-                        mask = wmask if mask is None else (mask & wmask)
-                    if wr >= 0:
-                        wmask = col_abs <= row_pos + wr
-                        mask = wmask if mask is None else (mask & wmask)
-                s = jnp.where(mask, s, mask_value)
+            def _update_part(part=part):
+                s = s_parts[part]
+                col0 = kv_tile * block_k + part * sub_k
+                if k_scale_ref is not None:
+                    # Quantized K: per-token dequant folded as a *column*
+                    # scaling of the scores, s_j·(q·k_j) = q·(s_j k_j) —
+                    # lane-aligned, so the int8/fp8 payload never round-trips
+                    # VMEM dequantized.
+                    s *= k_scale_ref[
+                        0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
+                if bias_ref is not None:
+                    s += bias_ref[
+                        0, 0, :, part * sub_k:(part + 1) * sub_k
+                    ].astype(jnp.float32) * LOG2E
 
-            m_prev = m_scr[...]                                # (bq, 128)
-            l_prev = l_scr[...]
-            m_cur = jnp.max(s, axis=1, keepdims=True)          # (bq, 1)
-            m_next = jnp.maximum(m_prev, m_cur)                # (bq, 128)
-            alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s - m_next[:, :1])                    # (bq, sub_k)
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_scr[...] = m_next
-            l_scr[...] = l_next
+                if causal or need_tail_mask or has_window:
+                    col_pos = jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, sub_k), 1
+                    ) + col0
+                    mask = None
+                    if need_tail_mask:
+                        mask = col_pos < kv_valid_len
+                    if causal or has_window:
+                        row_pos = jax.lax.broadcasted_iota(
+                            jnp.int32, (block_q, sub_k), 0
+                        ) + q_tile * block_q + q_off
+                        col_abs = col_pos + kv_off
+                        if causal:
+                            cmask = col_abs <= row_pos
+                            mask = cmask if mask is None else (mask & cmask)
+                        if wl >= 0:
+                            wmask = col_abs >= row_pos - wl
+                            mask = wmask if mask is None else (mask & wmask)
+                        if wr >= 0:
+                            wmask = col_abs <= row_pos + wr
+                            mask = wmask if mask is None else (mask & wmask)
+                    s = jnp.where(mask, s, mask_value)
 
-            acc_scr[...] *= alpha[:, :1]
-            if v_scale_ref is not None:
-                # Quantized V: P @ diag(s_v) @ V == (P ∘ s_v[None,:]) @ V.
-                p = p * v_scale_ref[
-                    0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
-            acc_scr[...] += jax.lax.dot(
-                p.astype(mm_dtype),
-                v[part * sub_k:(part + 1) * sub_k, :].astype(mm_dtype),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+                m_prev = m_scr[...]                              # (bq, 128)
+                l_prev = l_scr[...]
+                m_cur = jnp.max(s, axis=1, keepdims=True)        # (bq, 1)
+                m_next = jnp.maximum(m_prev, m_cur)              # (bq, 128)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(s - m_next[:, :1])                  # (bq, sub_k)
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                m_scr[...] = m_next
+                l_scr[...] = l_next
+
+                acc_scr[...] *= alpha[:, :1]
+                if v_scale_ref is not None:
+                    # Quantized V: P @ diag(s_v) @ V == (P ∘ s_v[None,:]) @ V.
+                    p2 = p * v_scale_ref[
+                        0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
+                else:
+                    p2 = p
+                acc_scr[...] += jax.lax.dot(
+                    p2.astype(mm_dtype),
+                    v[part * sub_k:(part + 1) * sub_k, :].astype(mm_dtype),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+            if run_part is None:
+                _update_part()
+            else:
+                pl.when(run_part)(_update_part)
 
     @pl.when(grid_j == num_kv_tiles - 1)
     def _store():
