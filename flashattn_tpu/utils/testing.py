@@ -33,8 +33,11 @@ FWD_TOL = {
 }
 # Gradients amplify round-off via the dS = P(dP - D) cancellation; budgets are
 # looser, matching what the reference's printed diffs show for its own kernels.
+# f32 budget covers real-TPU f32 matmuls (bf16-multipass under
+# Precision.HIGHEST, ~1e-4-class residual) and hardware exp2 — measured
+# ~5e-4 max-abs on the adversarial shapes, vs ~1e-4 in CPU interpret mode.
 BWD_TOL = {
-    jnp.float32.dtype: Tolerance(2e-4, 2e-4),
+    jnp.float32.dtype: Tolerance(1e-3, 5e-4),
     jnp.bfloat16.dtype: Tolerance(8e-2, 8e-2),
     jnp.float16.dtype: Tolerance(8e-2, 8e-2),
 }

@@ -54,7 +54,8 @@ def test_decode_matches_forward(lm_params):
     for t in range(6):
         lg, cache = step(cache, toks[:, t])
         errs.append(float(jnp.max(jnp.abs(lg - logits[:, t]))))
-    assert max(errs) < 1e-4, errs
+    tol = 1e-2 if jax.default_backend() == "tpu" else 1e-4
+    assert max(errs) < tol, errs
 
 
 def test_decode_quantized_cache(lm_params):

@@ -122,7 +122,10 @@ def test_transformer_sliding_window():
     for t in range(12):
         lg, cache = step(cache, toks[:, t])
         errs.append(float(jnp.max(jnp.abs(lg - logits[:, t]))))
-    assert max(errs) < 1e-4, errs
+    # on real TPU the model's f32 einsums run as bf16-class MXU matmuls, so
+    # the two computation orders agree at bf16 level, not f32 level
+    tol = 1e-2 if jax.default_backend() == "tpu" else 1e-4
+    assert max(errs) < tol, errs
 
     # and it must differ from the full-causal model (window actually binds)
     cfg_full = dataclasses.replace(cfg, sliding_window=None)
