@@ -75,7 +75,8 @@ def _fwd_tiled(q, k, v, bias, *, causal, scale, block_q, block_k, has_bias):
         def kv_tile_step(carry, inputs):
             m_prev, l_prev, acc = carry
             kv_idx, kj, vj, bij = inputs
-            s = jnp.einsum("bhqd,bhkd->bhqk", qi, kj) + bij
+            s = jnp.einsum("bhqd,bhkd->bhqk", qi, kj,
+                           precision=jax.lax.Precision.HIGHEST) + bij
             col_valid = jax.lax.dynamic_slice_in_dim(
                 kv_valid, kv_idx * block_k, block_k
             )
@@ -91,7 +92,9 @@ def _fwd_tiled(q, k, v, bias, *, causal, scale, block_q, block_k, has_bias):
             alpha = jnp.exp(m_prev - m_next)
             p = jnp.exp(s - m_next[..., None])
             l_next = alpha * l_prev + jnp.sum(p, axis=-1)
-            acc = acc * alpha[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, vj)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vj,
+                precision=jax.lax.Precision.HIGHEST)
             return (m_next, l_next, acc), None
 
         m0 = jnp.full((B, H, block_q), -jnp.inf, jnp.float32)
@@ -179,7 +182,8 @@ def flash_attention_reference_bwd(
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
     dof, of = do.astype(jnp.float32), o.astype(jnp.float32)
 
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                   precision=jax.lax.Precision.HIGHEST) * scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     if causal:
@@ -188,12 +192,16 @@ def flash_attention_reference_bwd(
     p = jnp.exp(s - lse[..., None])
 
     d = jnp.sum(dof * of, axis=-1)  # [B,H,Nq] — one-shot preprocess (quirk 3 fix)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof,
+                    precision=jax.lax.Precision.HIGHEST)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf,
+                    precision=jax.lax.Precision.HIGHEST)
     ds = p * (dp - d[..., None])
     dbias = ds if bias is not None else None
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+                    precision=jax.lax.Precision.HIGHEST) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
+                    precision=jax.lax.Precision.HIGHEST) * scale
     out = (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
     if bias is not None:
         return out + (dbias,)
