@@ -151,3 +151,21 @@ def test_ring_attention_window():
         got = fn(q, k, v)
         want = attention_reference(q, k, v, causal=causal, window=window)
         assert float(jnp.max(jnp.abs(got - want))) < 2e-5, (window, causal)
+
+
+def test_window_with_gqa_and_bias():
+    """Window composes with GQA and a differentiable bias."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (1, 4, 320, 64), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, 320, 64), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, 320, 64), jnp.float32)
+    bias = 0.3 * jax.random.normal(ks[3], (1, 1, 320, 320), jnp.float32)
+    window = (96, 0)
+    got = flash_attention(q, k, v, bias=bias, window=window)
+    want = attention_reference(q, k, v, bias=bias, window=window)
+    assert float(jnp.max(jnp.abs(got - want))) < 2e-5
+    db = jax.grad(lambda b: (flash_attention(q, k, v, bias=b,
+                                             window=window) ** 2).sum())(bias)
+    dbw = jax.grad(lambda b: (attention_reference(
+        q, k, v, bias=b, window=window) ** 2).sum())(bias)
+    assert float(jnp.max(jnp.abs(db - dbw))) < 1e-3
