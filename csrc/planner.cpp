@@ -55,9 +55,11 @@ int fa_plan(int nq, int nk, int d, int itemsize, int causal, int has_bias,
   // Decode shapes (nq <= 32): 16-row Q tile — sublane-aligned, skips the
   // ~8x wasted MXU/VPU work of padding Nq to 128. Mirrors the Python policy.
   if (nq <= 32) out->block_q = std::max(16, round_up(nq, 16));
-  // 2048-wide blocks run as 2x1024 sub-tiles in-kernel (MXU/VPU overlap)
+  // 2048-wide blocks run as 2x1024 sub-tiles in-kernel (MXU/VPU overlap).
+  // Causal prefers square 1024 tiles: the flat-grid diagonal block is then
+  // exactly half-masked with no fully-dead sub-tile.
   // — mirrors ops/flash.py::_python_block_policy
-  out->block_k = fit(nk, big_d ? 512 : 2048);
+  out->block_k = fit(nk, big_d ? 512 : (causal ? 1024 : 2048));
   out->block_q_dkv = fit(nq, big_d ? 256 : (has_bias ? 512 : 2048));
   out->block_k_dkv = fit(nk, big_d ? 256 : (has_bias ? 512 : 1024));
   out->block_q_dq = fit(nq, big_d ? 256 : (has_bias ? 512 : 1024));

@@ -56,28 +56,34 @@ class BlockSizes:
 
 
 def choose_block_sizes(nq: int, nk: int, d: int, dtype,
-                       has_bias: bool = False) -> BlockSizes:
+                       has_bias: bool = False,
+                       causal: bool = False) -> BlockSizes:
     """Default tile policy (Python mirror of the native planner).
 
     Rationale: block_q/block_k ≥ 256 keeps the MXU pipeline deep; shrink for
     short sequences so tiny inputs do not pad to 2× their size; cap the
     scores-tile VMEM when D is large (the reference's D>384 → Br=32 rule,
     FlashAttn.py:66-67, translated to VMEM terms) or when a bias adds an
-    f32 (block_q, block_k) tile to the working set.
+    f32 (block_q, block_k) tile to the working set. Causal runs halve the
+    Q tile: the wasted MXU work on the half-masked diagonal band is
+    N·block_q/2, so block_q=512 costs 12.5%% overhead instead of 25%%.
     """
     try:
         from flashattn_tpu.utils import native
 
-        plan = native.plan(nq, nk, d, jnp.dtype(dtype).itemsize, has_bias)
+        plan = native.plan(nq, nk, d, jnp.dtype(dtype).itemsize, has_bias,
+                           causal)
         if plan is not None:
             return BlockSizes(*plan)
     except Exception:
         pass
-    return _python_block_policy(nq, nk, d, jnp.dtype(dtype).itemsize, has_bias)
+    return _python_block_policy(nq, nk, d, jnp.dtype(dtype).itemsize, has_bias,
+                                causal)
 
 
 def _python_block_policy(nq: int, nk: int, d: int, itemsize: int,
-                         has_bias: bool = False) -> BlockSizes:
+                         has_bias: bool = False,
+                         causal: bool = False) -> BlockSizes:
     """Tuned on TPU v5e (benchmarks/sweep_blocks*.py, 2026-08): fwd
     (1024,1024) ≈ 94% of the measured matmul roofline at D=128; bwd best at
     dkv(1024,512) + dq(512,1024). Large D (>256) shrinks tiles to respect the
@@ -100,8 +106,10 @@ def _python_block_policy(nq: int, nk: int, d: int, itemsize: int,
         block_q=block_q,
         # 2048-wide blocks run as 2×1024 sub-tiles inside the kernels
         # (MXU/VPU overlap, see flash_fwd kv_splits / flash_bwd q_splits):
-        # fwd +16%, fwd+bwd +10% measured on v5e at D=128
-        block_k=fit(nk, 512 if d > 256 else 2048),
+        # fwd +16%, fwd+bwd +10% measured on v5e at D=128. Causal prefers
+        # square 1024 tiles: the flat-grid diagonal block is then exactly
+        # half-masked with no fully-dead sub-tile.
+        block_k=fit(nk, 512 if d > 256 else (1024 if causal else 2048)),
         block_q_dkv=fit(nq, 256 if d > 256 else (512 if has_bias else 2048)),
         block_k_dkv=fit(nk, 256 if d > 256 else (512 if has_bias else 1024)),
         block_q_dq=fit(nq, 256 if d > 256 else (512 if has_bias else 1024)),
@@ -406,7 +414,7 @@ def flash_attention(
 
     if block_sizes is None:
         block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3],
-                                         kdt, bias is not None)
+                                         kdt, bias is not None, bool(causal))
     offsets = jnp.stack(
         [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
     )
@@ -453,7 +461,7 @@ def flash_attention_with_lse(
     q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
     if block_sizes is None:
         block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3],
-                                         kdt, bias is not None)
+                                         kdt, bias is not None, bool(causal))
     offsets = jnp.stack(
         [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
     )

@@ -9,18 +9,23 @@ is emitted as the residual for backward and for cross-device LSE merging
 (ring attention).
 
 Differences from the reference, by design (SURVEY.md §6-7):
-  * causal masking skips whole KV tiles via a predicated region bound by the
-    diagonal (the reference masks everything, kernel_fp16.cu:396-411);
+  * causal/windowed launches with compile-time offsets use a FLAT grid: the
+    executed (q_tile, kv_tile) pairs are enumerated at trace time into a
+    scalar-prefetch table, so masked-out tiles are never visited at all (the
+    reference masks everything, kernel_fp16.cu:396-411; a predicated-off
+    Pallas grid step still costs ~3 µs of DMA/pipeline floor on v5e, measured
+    round 2 — enumeration beats predication);
   * softmax statistics are always f32 (the reference keeps fp16 LDS tiles);
   * no OOB read-then-mask of the KV tail (quirk 4): inputs are padded and the
     tail is masked with a finite large-negative value in f32;
-  * absolute q/kv position offsets are runtime scalars, so the same kernel
+  * absolute q/kv position offsets may be runtime scalars, so the same kernel
     serves sequence-parallel callers (ring attention) with globally-consistent
-    causal masks.
+    causal masks (those fall back to the dense predicated grid).
 
-Grid: ``(B, Hq, Tq, Tk)`` — batch/head/Q-tile parallel, KV-tile sequential
-(the online-softmax reduction), mirroring the reference's ``dim3(b, h, Tr)``
-grid with its in-kernel Tc loop (kernel_fp16.cu:798-806, 381-508).
+Grids: flat ``(B, Hq, P)`` over the pair table, or dense ``(B, Hq, Tq, Tk)``
+— batch/head parallel, KV-tile sequential (the online-softmax reduction),
+mirroring the reference's ``dim3(b, h, Tr)`` grid with its in-kernel Tc loop
+(kernel_fp16.cu:798-806, 381-508).
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,8 +45,74 @@ NUM_LANES = 128
 LOG2E = 1.4426950408889634  # log2(e)
 LN2 = 0.6931471805599453    # 1/LOG2E
 
+# Flat-pair table rows (int32, shape (6, P)).
+TAB_QI, TAB_KV, TAB_FIRST, TAB_LAST, TAB_FULL, TAB_LIVE = range(6)
+
+
+def _range_predicates(row_first, row_last, col_first_abs, col_last_abs,
+                      col_first_local, col_last_local, *,
+                      causal, window, need_tail_mask, kv_valid_len, and_fn):
+    """(run, full) predicates for a (row-range × column-range) region: does
+    any (row, col) pair survive masking / do all pairs survive. Works on
+    Python ints (flat-table construction) and traced scalars (dense kernel).
+    """
+    wl, wr = window if window is not None else (-1, -1)
+    run = None
+    full = None
+    if causal or wr >= 0:
+        wr_eff = wr if (wr >= 0 and not causal) else 0
+        run = and_fn(run, col_first_abs <= row_last + wr_eff)
+        full = and_fn(full, col_last_abs <= row_first + wr_eff)
+    if wl >= 0:
+        run = and_fn(run, col_last_abs >= row_first - wl)
+        full = and_fn(full, col_first_abs >= row_last - wl)
+    if need_tail_mask:
+        run = and_fn(run, col_first_local < kv_valid_len)
+        full = and_fn(full, col_last_local < kv_valid_len)
+    return run, full
+
+
+def build_pair_table(tq, tk, block_q, block_k, *, causal, window,
+                     q_off, kv_off, need_tail_mask, kv_valid_len):
+    """Enumerate the executed (q_tile, kv_tile) pairs for a static mask
+    geometry: q-major, kv ascending; per pair flags first/last (scratch
+    init / output store) and full (no masking needed). A q tile whose every
+    kv tile is masked out emits one dead sentinel pair so its output block
+    is still written (zeros, the all-masked convention)."""
+    def and_fn(a, b):
+        return b if a is None else (a and b)
+
+    rows = {k: [] for k in range(6)}
+    for i in range(tq):
+        row_first = i * block_q + q_off
+        row_last = row_first + block_q - 1
+        js = []
+        for j in range(tk):
+            cf, cl = j * block_k, j * block_k + block_k - 1
+            run, full = _range_predicates(
+                row_first, row_last, cf + kv_off, cl + kv_off, cf, cl,
+                causal=causal, window=window, need_tail_mask=need_tail_mask,
+                kv_valid_len=kv_valid_len, and_fn=and_fn)
+            if run is None or run:
+                js.append((j, bool(full) if full is not None else True))
+        if not js:
+            js = [(0, False)]
+            live = 0
+        else:
+            live = 1
+        for idx, (j, full) in enumerate(js):
+            rows[TAB_QI].append(i)
+            rows[TAB_KV].append(j)
+            rows[TAB_FIRST].append(1 if idx == 0 else 0)
+            rows[TAB_LAST].append(1 if idx == len(js) - 1 else 0)
+            rows[TAB_FULL].append(1 if full else 0)
+            rows[TAB_LIVE].append(live)
+    return np.array([rows[r] for r in range(6)], dtype=np.int32)
+
 
 def _fwd_kernel(
+    # scalar-prefetch (flat mode only)
+    tab_ref,   # SMEM (6, P) int32 pair table, or None (dense mode)
     # inputs
     offs_ref,  # SMEM (2,) int32: [q_offset, kv_offset] absolute positions
     q_ref,     # VMEM (1, 1, block_q, D)
@@ -55,7 +127,7 @@ def _fwd_kernel(
     # scratch
     m_scr,     # VMEM (block_q, NUM_LANES) f32
     l_scr,     # VMEM (block_q, NUM_LANES) f32
-    acc_scr,   # VMEM (block_q, D) f32
+    acc_scr,   # VMEM (block_q, D + aug_width) f32
     *,
     scale: float,
     causal: bool,
@@ -66,19 +138,16 @@ def _fwd_kernel(
     kv_padded_len: int,
     mask_value: float,
     window: tuple[int, int] | None = None,
-    bounded_delta: int | None = None,
-    num_kv_tiles_total: int | None = None,
     static_offs: tuple[int, int] | None = None,
     kv_splits: int = 1,
+    q_splits: int = 1,
+    aug_width: int = 0,
+    head_dim: int = 0,
 ):
-    q_tile = pl.program_id(2)
-    grid_j = pl.program_id(3)
-
-    @pl.when(grid_j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    wl, wr = window if window is not None else (-1, -1)
+    need_tail_mask = kv_valid_len != kv_padded_len
+    has_window = wl >= 0 or wr >= 0
+    masking = causal or has_window or need_tail_mask
 
     if static_offs is not None:
         q_off, kv_off = static_offs
@@ -86,164 +155,203 @@ def _fwd_kernel(
         q_off = offs_ref[0]
         kv_off = offs_ref[1]
 
-    if bounded_delta is not None:
-        # Bounded-KV grid (windowed attention, static offsets): grid axis 3
-        # spans only the tiles that can intersect the window; the true KV
-        # tile index is recovered from the q tile. Out-of-range j (clamped
-        # DMA at the sequence edges) is predicated off.
-        kv_tile = (q_tile * block_q + bounded_delta) // block_k + grid_j
-        in_range = jnp.logical_and(kv_tile >= 0,
-                                   kv_tile < num_kv_tiles_total)
+    def jnp_and(a, b):
+        return b if a is None else jnp.logical_and(a, b)
+
+    if tab_ref is not None:
+        p = pl.program_id(2)
+        q_tile = tab_ref[TAB_QI, p]
+        kv_tile = tab_ref[TAB_KV, p]
+        init_pred = tab_ref[TAB_FIRST, p] == 1
+        store_pred = tab_ref[TAB_LAST, p] == 1
+        blk_full = tab_ref[TAB_FULL, p] == 1
+        should_run = tab_ref[TAB_LIVE, p] == 1
     else:
+        q_tile = pl.program_id(2)
+        grid_j = pl.program_id(3)
         kv_tile = grid_j
-        in_range = True
+        init_pred = grid_j == 0
+        store_pred = grid_j == num_kv_tiles - 1
+        if masking:
+            should_run, blk_full = _range_predicates(
+                q_tile * block_q + q_off,
+                q_tile * block_q + (block_q - 1) + q_off,
+                kv_tile * block_k + kv_off,
+                kv_tile * block_k + (block_k - 1) + kv_off,
+                kv_tile * block_k,
+                kv_tile * block_k + (block_k - 1),
+                causal=causal, window=window,
+                need_tail_mask=need_tail_mask, kv_valid_len=kv_valid_len,
+                and_fn=jnp_and)
+            if should_run is None:
+                should_run = True
+        else:
+            should_run, blk_full = True, True
 
-    wl, wr = window if window is not None else (-1, -1)
-    if causal or wr >= 0:
-        # Skip tiles strictly above the diagonal (+ right window): the tile's
-        # first kv position must not exceed the tile's last q position (+wr).
-        first_kv_pos = kv_tile * block_k + kv_off
-        last_q_pos = q_tile * block_q + (block_q - 1) + q_off
-        bound = last_q_pos + (wr if (wr >= 0 and not causal) else 0)
-        should_run = first_kv_pos <= bound
-    else:
-        should_run = True
-    if wl >= 0:
-        # Sliding window: skip tiles entirely left of the window.
-        last_kv_pos = kv_tile * block_k + (block_k - 1) + kv_off
-        first_q_pos = q_tile * block_q + q_off
-        in_window = last_kv_pos >= first_q_pos - wl
-        should_run = jnp.logical_and(should_run, in_window) \
-            if not isinstance(should_run, bool) else in_window
-    if bounded_delta is not None:
-        should_run = jnp.logical_and(should_run, in_range) \
-            if not isinstance(should_run, bool) else in_range
+    @pl.when(init_pred)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        if not aug_width:
+            l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0]
         sub_k = block_k // kv_splits
-        # Issue ALL sub-tile QK^T dots up front: each is independent of the
-        # other sub-tiles' softmax, so Mosaic can overlap the next sub-tile's
-        # MXU dot with the current sub-tile's VPU softmax (kv_splits > 1).
-        # The softmax scale (×log2 e) is folded into Q by the host wrapper —
-        # one fused pass instead of a per-step (bq, bk) scaling here (the
-        # reference folds the scale the same way, kernel_fp16.cu:827).
+        sub_q = block_q // q_splits
+        # Sub-tile enumeration: (q_part, kv_part) pairs. Distinct q_parts
+        # are fully independent online-softmax chains (disjoint m/l/acc
+        # rows), so Mosaic can overlap one part's VPU softmax with the next
+        # part's MXU dot even when kv_splits == 1 (square causal tiles).
+        parts = [(qp, kp) for kp in range(kv_splits)
+                 for qp in range(q_splits)]
         # f32 inputs: the MXU demotes f32 dot operands to bf16 by default —
         # request full f32 (bf16x-pass) matmuls so the f32 path is actually
         # f32 (measured: default f32 maxdiff vs oracle was bf16-level 7e-3).
         prec = (jax.lax.Precision.HIGHEST
-                if q.dtype == jnp.float32 else None)
-        def part_should_run(part):
-            # per-sub-tile skip (finer than the whole-block predicate):
-            # diagonal-adjacent blocks only compute their in-causal/-window
-            # sub-tiles
-            col0 = (kv_tile * block_k + part * sub_k) + kv_off
-            run = None
-            if causal or wr >= 0:
-                last_q_pos = q_tile * block_q + (block_q - 1) + q_off
-                bound = last_q_pos + (wr if (wr >= 0 and not causal) else 0)
-                run = col0 <= bound
-            if wl >= 0:
-                first_q_pos = q_tile * block_q + q_off
-                in_win = col0 + (sub_k - 1) >= first_q_pos - wl
-                run = in_win if run is None else jnp.logical_and(run, in_win)
-            return run
-
-        s_parts = []
-        for part in range(kv_splits):
-            k = k_ref[0, 0, part * sub_k:(part + 1) * sub_k, :]
-            if k.dtype in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype):
-                k = k.astype(q.dtype)
-            s_parts.append(jax.lax.dot_general(
-                q, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ))
-
-        need_tail_mask = kv_valid_len != kv_padded_len
-        has_window = wl >= 0 or wr >= 0
+                if q_ref.dtype == jnp.float32 else None)
         v = v_ref[0, 0]
         mm_dtype = q_ref.dtype if v.dtype in (
             jnp.int8.dtype, jnp.float8_e4m3fn.dtype) else v.dtype
+        if aug_width:
+            # Ones-augmented V (enabled when the padded head dim is not a
+            # multiple of 128): the MXU output is produced in 128-lane
+            # chunks, so lanes [D, D+aug) of the PV matmul are free — fill
+            # them with ones and P·[V|1] accumulates rowsum(P) (the online-
+            # softmax l statistic) at zero cost; the per-part VPU l update
+            # (rowsum + fma on (bq,128)) disappears entirely.
+            v_full = jnp.concatenate(
+                [v, jnp.ones((block_k, aug_width), v.dtype)], axis=1)
+        else:
+            v_full = v
 
-        for part in range(kv_splits):
-            run_part = part_should_run(part) if kv_splits > 1 else None
+        def qk_dot(qp, kp):
+            # The softmax scale (×log2 e) is folded into Q by the host
+            # wrapper — one fused pass instead of a per-step (bq, bk)
+            # scaling here (the reference folds the scale the same way,
+            # kernel_fp16.cu:827).
+            q = q_ref[0, 0, qp * sub_q:(qp + 1) * sub_q, :]
+            k = k_ref[0, 0, kp * sub_k:(kp + 1) * sub_k, :]
+            if k.dtype in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype):
+                k = k.astype(q.dtype)
+            return jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
 
-            def _update_part(part=part):
-                s = s_parts[part]
-                col0 = kv_tile * block_k + part * sub_k
-                if k_scale_ref is not None:
-                    # Quantized K: per-token dequant folded as a *column*
-                    # scaling of the scores, s_j·(q·k_j) = q·(s_j k_j) —
-                    # lane-aligned, so the int8/fp8 payload never round-trips
-                    # VMEM dequantized.
-                    s *= k_scale_ref[
-                        0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
-                if bias_ref is not None:
-                    s += bias_ref[
-                        0, 0, :, part * sub_k:(part + 1) * sub_k
-                    ].astype(jnp.float32) * LOG2E
+        def part_mask(qp, kp):
+            """Mask for one sub-tile: scalar-threshold compares on a
+            (col − row) delta matrix. NOTE: iotas are deliberately built
+            per sub-tile — sharing one delta matrix across sub-tiles
+            measured 84 vs 97 TFLOP/s (the long-lived value disrupts
+            Mosaic's dot/softmax interleaving)."""
+            col_l = jax.lax.broadcasted_iota(
+                jnp.int32, (sub_q, sub_k), 1)
+            dmat = col_l - jax.lax.broadcasted_iota(
+                jnp.int32, (sub_q, sub_k), 0)
+            col0 = kv_tile * block_k + kp * sub_k
+            row0 = q_tile * block_q + qp * sub_q
+            off = col0 + kv_off - (row0 + q_off)
+            mask = None
+            if causal:
+                mask = jnp_and(mask, dmat <= -off)
+            if wl >= 0:
+                mask = jnp_and(mask, dmat >= -wl - off)
+            if wr >= 0 and not causal:
+                mask = jnp_and(mask, dmat <= wr - off)
+            if need_tail_mask:
+                mask = jnp_and(mask, col_l < kv_valid_len - col0)
+            return mask
 
-                if causal or need_tail_mask or has_window:
-                    col_pos = jax.lax.broadcasted_iota(
-                        jnp.int32, (block_q, sub_k), 1
-                    ) + col0
-                    mask = None
-                    if need_tail_mask:
-                        mask = col_pos < kv_valid_len
-                    if causal or has_window:
-                        row_pos = jax.lax.broadcasted_iota(
-                            jnp.int32, (block_q, sub_k), 0
-                        ) + q_tile * block_q + q_off
-                        col_abs = col_pos + kv_off
-                        if causal:
-                            cmask = col_abs <= row_pos
-                            mask = cmask if mask is None else (mask & cmask)
-                        if wl >= 0:
-                            wmask = col_abs >= row_pos - wl
-                            mask = wmask if mask is None else (mask & wmask)
-                        if wr >= 0:
-                            wmask = col_abs <= row_pos + wr
-                            mask = wmask if mask is None else (mask & wmask)
-                    s = jnp.where(mask, s, mask_value)
+        def update(qp, kp, s, mask):
+            rows = slice(qp * sub_q, (qp + 1) * sub_q)
+            cols = slice(kp * sub_k, (kp + 1) * sub_k)
+            if k_scale_ref is not None:
+                # Quantized K: per-token dequant folded as a *column*
+                # scaling of the scores, s_j·(q·k_j) = q·(s_j k_j) —
+                # lane-aligned, so the int8/fp8 payload never round-trips
+                # VMEM dequantized.
+                s *= k_scale_ref[0, 0, 0, cols][None, :]
+            if bias_ref is not None:
+                s += bias_ref[0, 0, rows, cols].astype(jnp.float32) * LOG2E
+            if mask is not None:
+                s = jnp.where(mask, s, mask_value)
 
-                m_prev = m_scr[...]                              # (bq, 128)
-                l_prev = l_scr[...]
-                m_cur = jnp.max(s, axis=1, keepdims=True)        # (bq, 1)
-                m_next = jnp.maximum(m_prev, m_cur)              # (bq, 128)
-                alpha = jnp.exp2(m_prev - m_next)
-                p = jnp.exp2(s - m_next[:, :1])                  # (bq, sub_k)
-                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-                m_scr[...] = m_next
-                l_scr[...] = l_next
-
-                acc_scr[...] *= alpha[:, :1]
-                if v_scale_ref is not None:
-                    # Quantized V: P @ diag(s_v) @ V == (P ∘ s_v[None,:]) @ V.
-                    p2 = p * v_scale_ref[
-                        0, 0, 0, part * sub_k:(part + 1) * sub_k][None, :]
-                else:
-                    p2 = p
-                acc_scr[...] += jax.lax.dot(
-                    p2.astype(mm_dtype),
-                    v[part * sub_k:(part + 1) * sub_k, :].astype(mm_dtype),
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-
-            if run_part is None:
-                _update_part()
+            m_prev = m_scr[rows]                             # (sub_q, 128)
+            m_cur = jnp.max(s, axis=1, keepdims=True)        # (sub_q, 1)
+            m_next = jnp.maximum(m_prev, m_cur)              # (sub_q, 128)
+            alpha = jnp.exp2(m_prev - m_next)
+            if aug_width and mm_dtype == jnp.bfloat16.dtype:
+                # bf16 exp2: P is consumed by the MXU in bf16 anyway, and
+                # with the ones-augmented V the l statistic accumulates in
+                # the f32 MXU accumulator, so no f32 precision is lost
+                # where it matters. Halves the dominant VPU op at D=64.
+                p = jnp.exp2((s - m_next[:, :1]).astype(jnp.bfloat16))
             else:
-                pl.when(run_part)(_update_part)
+                p = jnp.exp2(s - m_next[:, :1])              # (sub_q, sub_k)
+            m_scr[rows] = m_next
+            if not aug_width:
+                l_scr[rows] = alpha * l_scr[rows] + jnp.sum(
+                    p, axis=1, keepdims=True)
 
-    @pl.when(grid_j == num_kv_tiles - 1)
+            acc_scr[rows] *= alpha[:, :1]
+            if v_scale_ref is not None:
+                # Quantized V: P @ diag(s_v) @ V == (P ∘ s_v[None,:]) @ V.
+                p2 = p * v_scale_ref[0, 0, 0, cols][None, :]
+            else:
+                p2 = p
+            acc_scr[rows] += jax.lax.dot(
+                p2.astype(mm_dtype), v_full[cols, :].astype(mm_dtype),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        def fast_block():
+            # No masks in this block: issue ALL sub-tile QK^T dots up front —
+            # each is independent of the other sub-tiles' softmax, so Mosaic
+            # overlaps sub-tile i+1's QK^T (MXU) with sub-tile i's softmax
+            # (VPU): 141 -> 164 TFLOP/s at D=128 on v5e.
+            s_parts = {pt: qk_dot(*pt) for pt in parts}
+            for pt in parts:
+                update(*pt, s_parts[pt], mask=None)
+
+        def edge_block():
+            # Branch-free edge blocks: pre-issued dots, every sub-tile
+            # masked (cheap delta-matrix mask). Per-sub-tile predication
+            # was measured WORSE (r2: 90 vs 97 TFLOP/s — branch regions
+            # defeat Mosaic's MXU/VPU interleaving more than the skipped
+            # work saves).
+            s_parts = {pt: qk_dot(*pt) for pt in parts}
+            for pt in parts:
+                update(*pt, s_parts[pt], part_mask(*pt))
+
+        if not masking:
+            fast_block()
+        else:
+            pl.when(blk_full)(fast_block)
+            pl.when(jnp.logical_not(blk_full))(edge_block)
+
+    if should_run is True:
+        _compute()
+    else:
+        pl.when(should_run)(_compute)
+
+    @pl.when(store_pred)
     def _store():
-        l = l_scr[...]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] * (1.0 / l_safe[:, :1])).astype(o_ref.dtype)
-        if lse_ref is not None:
-            # m is in log2 units; emit natural-log LSE (the bwd contract)
-            lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
+        if aug_width:
+            lcol = acc_scr[:, head_dim:]       # lane-replicated rowsum(P)
+            l_safe = jnp.where(lcol == 0.0, 1.0, lcol)[:, :1]   # (bq, 1)
+            o_ref[0, 0] = (acc_scr[:, :head_dim] * (1.0 / l_safe)
+                           ).astype(o_ref.dtype)
+            if lse_ref is not None:
+                # m is in log2 units; emit natural-log LSE (the bwd contract)
+                lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
+        else:
+            l = l_scr[...]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0] = (acc_scr[...] * (1.0 / l_safe[:, :1])
+                           ).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
 
 
 @functools.partial(
@@ -251,7 +359,7 @@ def _fwd_kernel(
     static_argnames=(
         "scale", "causal", "block_q", "block_k", "kv_valid_len",
         "return_lse", "interpret", "num_heads_q", "window", "static_offsets",
-        "kv_splits",
+        "kv_splits", "q_splits",
     ),
 )
 def fwd_padded(
@@ -274,25 +382,35 @@ def fwd_padded(
     window: tuple[int, int] | None = None,
     static_offsets: tuple[int, int] | None = None,
     kv_splits: int | None = None,
+    q_splits: int | None = None,
 ):
     """Launch the forward kernel on pre-padded, canonical-layout inputs.
 
     Host-side padding/slicing lives in :mod:`flashattn_tpu.ops.flash` (the
     role of forward_fp16's pad/slice prologue, kernel_fp16.cu:761-796).
 
-    When ``static_offsets`` (compile-time q/kv offsets) are given AND the
-    window bounds both sides (left ≥ 0 and causal or right ≥ 0), the KV grid
-    axis is *bounded*: it spans only the tiles a q tile can see, so cost
-    scales with the window instead of Nk (no per-skipped-tile program
-    overhead).
+    With ``static_offsets`` (compile-time q/kv offsets) and any masking
+    (causal / window / padded KV tail), the launch uses the FLAT grid: only
+    the (q_tile, kv_tile) pairs that contain unmasked work are enumerated
+    (scalar-prefetch table), so cost scales with the unmasked area — for
+    sliding windows that means with the window size, not Nk.
     """
     if interpret is None:
         interpret = platform.pallas_interpret_default()
     if kv_splits is None:
         # 1024-wide score sub-tiles measured best on v5e: with ≥2 sub-tiles
         # per block, sub-tile i+1's QK^T (MXU) overlaps sub-tile i's softmax
-        # (VPU): 141 -> 164 TFLOP/s at D=128 (+16%).
+        # (VPU): 141 -> 164 TFLOP/s at D=128 (+16%). 512-wide sub-tiles were
+        # measured WORSE for causal (67 vs 93 TFLOP/s: more predicated
+        # regions ≫ the finer skip granularity).
         kv_splits = max(1, block_k // 1024)
+    if q_splits is None:
+        # Square (1024, 1024) causal tiles have kv_splits == 1; splitting
+        # the Q rows instead yields independent online-softmax chains whose
+        # MXU dots and VPU softmaxes interleave (causal flat grid: 97 ->
+        # 111 TFLOP/s going from q_splits 1 to 4, measured on v5e).
+        q_splits = (max(1, min(4, block_q // 256))
+                    if kv_splits == 1 else 1)
     # Fold the softmax scale (in the kernel's log2 domain) into Q: one
     # elementwise pass XLA-fuses into the surrounding graph, instead of a
     # (bq, bk) VPU pass per KV step inside the kernel.
@@ -303,36 +421,40 @@ def fwd_padded(
     assert Hq == num_heads_q
     tq, tk = Nqp // block_q, Nkp // block_k
     q_hd_ratio = Hq // Hkv
+    # Free-lane rowsum: only when the PV matmul has spare output lanes (the
+    # MXU emits 128-lane chunks) and V is a plain float payload (quantized V
+    # folds per-token scales into P, which would corrupt the ones-column sum).
+    aug_width = (128 - D % 128) if (
+        D % 128 != 0 and v_scale is None
+        and v.dtype not in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype)
+    ) else 0
 
-    wl, wr = window if window is not None else (-1, -1)
-    bounded = (
-        static_offsets is not None and wl >= 0 and (causal or wr >= 0)
-    )
-    if bounded:
-        wr_eff = 0 if causal else wr
-        kv_w = (block_q + wl + wr_eff - 1) // block_k + 2
-        if kv_w >= tk:
-            bounded = False  # window covers (almost) all tiles — no benefit,
-            # and a clamped narrower grid would miss coverage at the edges
-    if bounded:
-        delta = static_offsets[0] - static_offsets[1] - wl
-        grid = (B, Hq, tq, kv_w)
+    need_tail_mask = kv_valid_len != Nkp
+    masking = causal or window is not None or need_tail_mask
+    flat = masking and static_offsets is not None
+    if flat:
+        tab = build_pair_table(
+            tq, tk, block_q, block_k, causal=causal, window=window,
+            q_off=static_offsets[0], kv_off=static_offsets[1],
+            need_tail_mask=need_tail_mask, kv_valid_len=kv_valid_len)
+        n_pairs = tab.shape[1]
+        n_live = int(tab[TAB_LIVE].sum())
+        grid = (B, Hq, n_pairs)
 
-        def kv_tile_of(i, j):
-            return jnp.clip((i * block_q + delta) // block_k + j, 0, tk - 1)
+        def q_index(b, h, p, tab_ref):
+            return (b, h, tab_ref[TAB_QI, p], 0)
+
+        def kv_index(b, h, p, tab_ref):
+            return (b, h // q_hd_ratio, tab_ref[TAB_KV, p], 0)
     else:
-        kv_w = tk
-        delta = None
         grid = (B, Hq, tq, tk)
+        n_live = None
 
-        def kv_tile_of(i, j):
-            return j
+        def q_index(b, h, i, j):
+            return (b, h, i, 0)
 
-    def q_index(b, h, i, j):
-        return (b, h, i, 0)
-
-    def kv_index(b, h, i, j):
-        return (b, h // q_hd_ratio, kv_tile_of(i, j), 0)
+        def kv_index(b, h, i, j):
+            return (b, h // q_hd_ratio, j, 0)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets
@@ -343,9 +465,13 @@ def fwd_padded(
     args = [offsets.astype(jnp.int32), q, k, v]
     if bias is not None:
         Bb, Hb = bias.shape[0], bias.shape[1]
-
-        def bias_index(b, h, i, j):
-            return (b if Bb > 1 else 0, h if Hb > 1 else 0, i, kv_tile_of(i, j))
+        if flat:
+            def bias_index(b, h, p, tab_ref):
+                return (b if Bb > 1 else 0, h if Hb > 1 else 0,
+                        tab_ref[TAB_QI, p], tab_ref[TAB_KV, p])
+        else:
+            def bias_index(b, h, i, j):
+                return (b if Bb > 1 else 0, h if Hb > 1 else 0, i, j)
 
         in_specs.append(
             pl.BlockSpec((1, 1, block_q, block_k), bias_index,
@@ -353,8 +479,12 @@ def fwd_padded(
         )
         args.append(bias)
 
-    def scale_index(b, h, i, j):
-        return (b, h // q_hd_ratio, 0, kv_tile_of(i, j))
+    if flat:
+        def scale_index(b, h, p, tab_ref):
+            return (b, h // q_hd_ratio, 0, tab_ref[TAB_KV, p])
+    else:
+        def scale_index(b, h, i, j):
+            return (b, h // q_hd_ratio, 0, j)
 
     for sc in (k_scale, v_scale):
         if sc is not None:
@@ -385,57 +515,86 @@ def fwd_padded(
     has_ks = k_scale is not None
     has_vs = v_scale is not None
 
-    def kernel_entry(offs, qr, kr, vr, *rest):
+    def kernel_entry(*refs):
         idx = 0
+        if flat:
+            tab_r = refs[idx]; idx += 1
+        else:
+            tab_r = None
+        offs, qr, kr, vr = refs[idx:idx + 4]
+        idx += 4
         bias_r = ks_r = vs_r = None
         if has_bias:
-            bias_r = rest[idx]; idx += 1
+            bias_r = refs[idx]; idx += 1
         if has_ks:
-            ks_r = rest[idx]; idx += 1
+            ks_r = refs[idx]; idx += 1
         if has_vs:
-            vs_r = rest[idx]; idx += 1
-        o_r = rest[idx]; idx += 1
-        lse_r = rest[idx] if return_lse else None
+            vs_r = refs[idx]; idx += 1
+        o_r = refs[idx]; idx += 1
+        lse_r = refs[idx] if return_lse else None
         idx += 1 if return_lse else 0
-        m_scr, l_scr, acc_scr = rest[idx:idx + 3]
+        m_scr, l_scr, acc_scr = refs[idx:idx + 3]
         _fwd_kernel(
-            offs, qr, kr, vr, bias_r, ks_r, vs_r, o_r, lse_r,
+            tab_r, offs, qr, kr, vr, bias_r, ks_r, vs_r, o_r, lse_r,
             m_scr, l_scr, acc_scr,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-            num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
+            num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             mask_value=DEFAULT_MASK_VALUE, window=window,
-            bounded_delta=delta, num_kv_tiles_total=tk,
             static_offs=static_offsets, kv_splits=kv_splits,
+            q_splits=q_splits, aug_width=aug_width, head_dim=D,
         )
 
     flops_per_prog = 4 * block_q * block_k * D  # QK^T + PV
+    n_progs = (n_live if flat
+               else tq * tk * (0.5 if (causal or window) else 1.0))
     cost = pl.CostEstimate(
-        flops=int(flops_per_prog * B * Hq * tq * kv_w
-                  * (0.5 if (causal and not bounded) else 1.0)),
+        flops=int(flops_per_prog * B * Hq * n_progs),
         bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-        transcendentals=B * Hq * Nqp * min(Nkp, kv_w * block_k),
+        transcendentals=int(B * Hq * block_q * block_k * n_progs),
     )
 
-    outs = pl.pallas_call(
-        kernel_entry,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            # default scoped-VMEM budget is 16 MB; v5e has 128 MB of VMEM —
-            # raise the cap so (1024,1024) tiles fit alongside bias/dbias
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(*args)
+    scratch_shapes = [
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+        pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+        pltpu.VMEM((block_q, D + aug_width), jnp.float32),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=(("parallel", "parallel", "arbitrary") if flat
+                             else ("parallel", "parallel", "parallel",
+                                   "arbitrary")),
+        # default scoped-VMEM budget is 16 MB; v5e has 128 MB of VMEM —
+        # raise the cap so (1024,1024) tiles fit alongside bias/dbias
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+    if flat:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        outs = pl.pallas_call(
+            kernel_entry,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(tab), *args)
+    else:
+        outs = pl.pallas_call(
+            kernel_entry,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
 
     o = outs[0]
     lse = outs[1][..., 0] if return_lse else None  # de-replicate lanes

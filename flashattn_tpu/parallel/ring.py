@@ -120,7 +120,7 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
     nk = k.shape[2]
     idx = jax.lax.axis_index(axis_name)
     q_off = idx * nq
-    blocks = choose_block_sizes(nq, nk, D, q.dtype)
+    blocks = choose_block_sizes(nq, nk, D, q.dtype, causal=causal)
 
     o = jnp.zeros((B, H, nq, D), jnp.float32)
     lse = jnp.full((B, H, nq), -jnp.inf, jnp.float32)
@@ -175,7 +175,7 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
     nk = k.shape[2]
     idx = jax.lax.axis_index(axis_name)
     q_off = idx * nq
-    blocks = choose_block_sizes(nq, nk, D, q.dtype)
+    blocks = choose_block_sizes(nq, nk, D, q.dtype, causal=causal)
 
     do = g.astype(q.dtype)
     delta = jnp.sum(
