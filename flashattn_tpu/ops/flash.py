@@ -271,6 +271,47 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     # reference triton_fused_attention.py:192-206), fused by XLA.
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
+    # Single-pass fused backward (5 matmuls instead of 7 — the reference's
+    # one-kernel structure, kernel_fp16.cu:547-740, minus its dQ race):
+    # available when offsets are compile-time, no bias gradient is needed,
+    # and the whole-sequence f32 dQ accumulator fits VMEM.
+    dp_ = _pad_head_dim(D)
+    bq_f = max(128, min(1024, _round_up(Nq, 128)))
+    bk_f = max(128, min(1024, _round_up(Nk, 128)))
+    nqp_f = _round_up(Nq, bq_f)
+    use_fused = (
+        bias is None and static_offsets is not None
+        and nqp_f * dp_ * 4 <= 32 * 1024 * 1024
+    )
+    if use_fused:
+        from flashattn_tpu.ops import flash_bwd_fused
+
+        rep = Hq // Hkv
+        ke = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+        ve = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+        nkp_f = _round_up(Nk, bk_f)
+        lse_rep = jnp.broadcast_to(
+            _pad_axis(lse, 2, nqp_f)[..., None], (B, Hq, nqp_f, NUM_LANES))
+        delta_rep = jnp.broadcast_to(
+            _pad_axis(delta, 2, nqp_f)[..., None], (B, Hq, nqp_f, NUM_LANES))
+        dq, dk, dv = flash_bwd_fused.bwd_fused_padded(
+            _pad_axis(_pad_axis(q, 2, nqp_f), 3, dp_),
+            _pad_axis(_pad_axis(ke, 2, nkp_f), 3, dp_),
+            _pad_axis(_pad_axis(ve, 2, nkp_f), 3, dp_),
+            _pad_axis(_pad_axis(do, 2, nqp_f), 3, dp_),
+            lse_rep, delta_rep,
+            scale=scale, causal=causal, block_q=bq_f, block_k=bk_f,
+            kv_valid_len=kv_valid_len, interpret=interpret, window=window,
+            static_offsets=static_offsets,
+        )
+        dq = dq[:, :, :Nq, :D]
+        dk = dk[:, :, :Nk, :D]
+        dv = dv[:, :, :Nk, :D]
+        if rep > 1:
+            dk = dk.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(k.dtype)
+            dv = dv.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(v.dtype)
+        return dq, dk, dv, None, _int_zero_cotangent(offsets)
+
     bq_dkv, bk_dkv = blocks.block_q_dkv, blocks.block_k_dkv
     bq_dq, bk_dq = blocks.block_q_dq, blocks.block_k_dq
     dp = _pad_head_dim(D)

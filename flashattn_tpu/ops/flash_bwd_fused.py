@@ -1,0 +1,328 @@
+"""Single-pass fused FlashAttention-2 backward (dQ + dK + dV in one kernel).
+
+The reference computes all three gradients in one kernel but races on dQ
+(cross-workgroup non-atomic accumulation, kernel_fp16.cu:736 — SURVEY.md §6
+quirk 2). On TPU the Pallas grid is *sequential* on the core, so the same
+fusion is race-free by construction: a whole-sequence f32 dQ accumulator
+lives in VMEM scratch and every (kv_tile, q_tile) step adds into its row
+slice. This does the textbook 5-matmul backward (vs 7 for the two-kernel
+split in flash_bwd.py): S=QK^T, dP=dO·V^T, dV+=P^T·dO, dK+=dS^T·Q,
+dQ+=dS·K — i.e. fwd+bwd = 7·fpm of real MXU work instead of 9·fpm.
+
+Grid: flat ``(B, H, P)`` over a kv-major pair table (same scalar-prefetch
+technique as flash_fwd.py): only pairs with unmasked work are visited.
+dK/dV accumulate in per-kv-tile scratch (init at the first q-visit, stored
+at the last). dQ rows are zeroed at their first kv-visit and written out at
+their last; on non-store steps the dQ output BlockSpec points at a dummy
+row so the revisited block is not flushed per step.
+
+Requires compile-time offsets and no bias; other callers (ring attention,
+dbias) use the two-kernel path in flash_bwd.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattn_tpu.ops.flash_fwd import LN2, LOG2E, _range_predicates
+from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
+from flashattn_tpu.utils import platform
+
+NUM_LANES = 128
+
+# Pair-table rows (int32, shape (8, P)), kv-major enumeration.
+(BT_J, BT_I, BT_FIRST_I, BT_LAST_I, BT_FIRST_J, BT_DQIDX, BT_FULL,
+ BT_LIVE) = range(8)
+
+
+def build_bwd_pair_table(tq, tk, block_q, block_k, *, causal, window,
+                         q_off, kv_off, need_tail_mask, kv_valid_len):
+    """kv-major pair enumeration with per-pair flags:
+
+    * FIRST_I / LAST_I — first/last q-visit of this kv tile (dK/dV scratch
+      init / store);
+    * FIRST_J — this pair is q tile i's first kv-visit (zero dQ rows);
+    * DQIDX — q tile index on i's last kv-visit (store dQ rows), else ``tq``
+      (the dummy output row — the block flushed on non-store steps);
+    * FULL — no masking needed; LIVE — 0 for dead sentinel pairs (a q tile
+      with every kv tile masked still needs its dQ rows zeroed+stored).
+    """
+    def and_fn(a, b):
+        return b if a is None else (a and b)
+
+    js_of_i = {}
+    for i in range(tq):
+        row_first = i * block_q + q_off
+        row_last = row_first + block_q - 1
+        js = []
+        for j in range(tk):
+            cf, cl = j * block_k, j * block_k + block_k - 1
+            run, full = _range_predicates(
+                row_first, row_last, cf + kv_off, cl + kv_off, cf, cl,
+                causal=causal, window=window, need_tail_mask=need_tail_mask,
+                kv_valid_len=kv_valid_len, and_fn=and_fn)
+            if run is None or run:
+                js.append((j, bool(full) if full is not None else True))
+        js_of_i[i] = js
+
+    rows = {r: [] for r in range(8)}
+
+    def emit(j, i, first_i, last_i, first_j, store_dq, full, live):
+        rows[BT_J].append(j)
+        rows[BT_I].append(i)
+        rows[BT_FIRST_I].append(int(first_i))
+        rows[BT_LAST_I].append(int(last_i))
+        rows[BT_FIRST_J].append(int(first_j))
+        rows[BT_DQIDX].append(i if store_dq else tq)
+        rows[BT_FULL].append(int(full))
+        rows[BT_LIVE].append(int(live))
+
+    for j in range(tk):
+        i_list = [i for i in range(tq)
+                  if any(jj == j for jj, _ in js_of_i[i])]
+        if not i_list:
+            # kv tile entirely masked: its dK/dV blocks still need zeros.
+            emit(j, 0, 1, 1, 0, False, False, 0)
+            continue
+        for pos, i in enumerate(i_list):
+            js = [jj for jj, _ in js_of_i[i]]
+            full = dict(js_of_i[i])[j]
+            emit(j, i,
+                 first_i=pos == 0, last_i=pos == len(i_list) - 1,
+                 first_j=js[0] == j, store_dq=js[-1] == j,
+                 full=full, live=1)
+    # dead q tiles (no kv visits at all): zero + store their dQ rows once,
+    # appended at the end (piggybacks on the last kv tile's blocks).
+    for i in range(tq):
+        if not js_of_i[i]:
+            emit(tk - 1, i, 0, 0, 1, True, False, 0)
+    return np.array([rows[r] for r in range(8)], dtype=np.int32)
+
+
+def _bwd_fused_kernel(
+    tab_ref,     # SMEM (8, P) int32
+    q2_ref,      # VMEM (1, 1, block_q, D) — q pre-scaled by scale·log2e
+    k_ref,       # VMEM (1, 1, block_k, D)
+    v_ref,       # VMEM (1, 1, block_k, D)
+    do_ref,      # VMEM (1, 1, block_q, D)
+    lse2_ref,    # VMEM (1, 1, block_q, NUM_LANES) — lse·log2e
+    delta_ref,   # VMEM (1, 1, block_q, NUM_LANES)
+    dq_ref,      # VMEM (1, 1, block_q, D) — dummy-row indexed (see table)
+    dk_ref,      # VMEM (1, 1, block_k, D)
+    dv_ref,      # VMEM (1, 1, block_k, D)
+    dq_acc,      # VMEM (tq·block_q, D) f32 — whole-sequence accumulator
+    dk_scr,      # VMEM (block_k, D) f32
+    dv_scr,      # VMEM (block_k, D) f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    kv_valid_len: int,
+    kv_padded_len: int,
+    window: tuple[int, int] | None,
+    static_offs: tuple[int, int],
+    mask_value: float,
+):
+    wl, wr = window if window is not None else (-1, -1)
+    need_tail_mask = kv_valid_len != kv_padded_len
+    masking = causal or wl >= 0 or wr >= 0 or need_tail_mask
+    q_off, kv_off = static_offs
+
+    p_id = pl.program_id(2)
+    j = tab_ref[BT_J, p_id]
+    i = tab_ref[BT_I, p_id]
+    first_i = tab_ref[BT_FIRST_I, p_id] == 1
+    last_i = tab_ref[BT_LAST_I, p_id] == 1
+    first_j = tab_ref[BT_FIRST_J, p_id] == 1
+    blk_full = tab_ref[BT_FULL, p_id] == 1
+    live = tab_ref[BT_LIVE, p_id] == 1
+    tq_total = dq_acc.shape[0] // block_q
+    dq_store = tab_ref[BT_DQIDX, p_id] < tq_total
+
+    rows = pl.ds(pl.multiple_of(i * block_q, block_q), block_q)
+
+    @pl.when(first_i)
+    def _init_kv():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(first_j)
+    def _init_dq_rows():
+        dq_acc[rows, :] = jnp.zeros((block_q, dq_acc.shape[1]), jnp.float32)
+
+    def _compute(masked):
+        prec = (jax.lax.Precision.HIGHEST
+                if q2_ref.dtype == jnp.float32 else None)
+        q2 = q2_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        # Both leading dots are independent — pre-issue for MXU/VPU overlap.
+        s2 = jax.lax.dot_general(
+            q2, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if masked:
+            col_l = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            dmat = col_l - jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            off = j * block_k + kv_off - (i * block_q + q_off)
+            mask = None
+
+            def _and(a, b):
+                return b if a is None else jnp.logical_and(a, b)
+
+            if causal:
+                mask = _and(mask, dmat <= -off)
+            if wl >= 0:
+                mask = _and(mask, dmat >= -wl - off)
+            if wr >= 0 and not causal:
+                mask = _and(mask, dmat <= wr - off)
+            if need_tail_mask:
+                mask = _and(mask, col_l < kv_valid_len - j * block_k)
+            s2 = jnp.where(mask, s2, mask_value)
+        # p = exp(S·scale − lse) computed in the exp2 domain (scale·log2e
+        # folded into q2 / lse2 by the host wrapper).
+        p = jnp.exp2(s2 - lse2_ref[0, 0, :, :1])
+        mmd = do.dtype
+        # dV += P^T · dO   (reference kernel_fp16.cu:724)
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(mmd), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ds = p * (dp - delta_ref[0, 0, :, :1])
+        ds = ds.astype(mmd)
+        # dK += dS^T · Q  — q2 carries scale·log2e, so ×ln2 at store gives
+        # the symmetric ·scale (fixes reference quirk 1, kernel_fp16.cu:737)
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        # dQ += dS · K  (race-free: sequential grid, one accumulator)
+        dq_acc[rows, :] += jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    if masking:
+        pl.when(jnp.logical_and(live, blk_full))(lambda: _compute(False))
+        pl.when(jnp.logical_and(live, jnp.logical_not(blk_full)))(
+            lambda: _compute(True))
+    else:
+        _compute(False)
+
+    @pl.when(last_i)
+    def _store_kv():
+        dk_ref[0, 0] = (dk_scr[...] * LN2).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+    @pl.when(dq_store)
+    def _store_dq():
+        dq_ref[0, 0] = (dq_acc[rows, :] * scale).astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "block_q", "block_k",
+                     "kv_valid_len", "interpret", "window",
+                     "static_offsets"),
+)
+def bwd_fused_padded(
+    q, k, v, do, lse_rep, delta_rep,
+    *, scale, causal, block_q, block_k, kv_valid_len,
+    interpret=None, window=None, static_offsets=(0, 0),
+):
+    """Single-pass backward launch on pre-padded inputs (H == Hkv: GQA
+    expanded by the wrapper). ``lse_rep``/``delta_rep``: [B,H,Nqp,128]
+    lane-replicated, natural-log lse."""
+    if interpret is None:
+        interpret = platform.pallas_interpret_default()
+    B, H, Nqp, D = q.shape
+    Nkp = k.shape[2]
+    tq, tk = Nqp // block_q, Nkp // block_k
+
+    # Fold scale·log2e into q; lse → log2 domain to match (passed below).
+    q2 = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+
+    tab = build_bwd_pair_table(
+        tq, tk, block_q, block_k, causal=causal, window=window,
+        q_off=static_offsets[0], kv_off=static_offsets[1],
+        need_tail_mask=kv_valid_len != Nkp, kv_valid_len=kv_valid_len)
+    n_pairs = tab.shape[1]
+
+    def qi(b, h, p, tab_ref):
+        return (b, h, tab_ref[BT_I, p], 0)
+
+    def kvi(b, h, p, tab_ref):
+        return (b, h, tab_ref[BT_J, p], 0)
+
+    def dqi(b, h, p, tab_ref):
+        return (b, h, tab_ref[BT_DQIDX, p], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, n_pairs),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, D), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), qi,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), qi,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), dqi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), kvi, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq * block_q, D), jnp.float32),   # dq accumulator
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )
+
+    def entry(tab_r, q2r, kr, vr, dor, lser, deltar, dq_r, dk_r, dv_r,
+              dq_acc, dk_scr, dv_scr):
+        _bwd_fused_kernel(
+            tab_r, q2r, kr, vr, dor, lser, deltar, dq_r, dk_r, dv_r,
+            dq_acc, dk_scr, dv_scr,
+            scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+            kv_valid_len=kv_valid_len, kv_padded_len=Nkp, window=window,
+            static_offs=tuple(int(x) for x in static_offsets),
+            mask_value=DEFAULT_MASK_VALUE,
+        )
+
+    n_live = int(tab[BT_LIVE].sum())
+    cost = pl.CostEstimate(
+        flops=int(10 * block_q * block_k * D * B * H * n_live),
+        bytes_accessed=(q.size * 3 + k.size * 4) * q.dtype.itemsize,
+        transcendentals=int(B * H * block_q * block_k * n_live),
+    )
+
+    dq, dk, dv = pl.pallas_call(
+        entry,
+        grid_spec=grid_spec,
+        out_shape=[
+            # one extra dummy q-tile row: non-store steps flush there
+            jax.ShapeDtypeStruct((B, H, (tq + 1) * block_q, D), q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.asarray(tab), q2, k, v, do, lse_rep * LOG2E, delta_rep)
+    return dq[:, :, :Nqp, :], dk, dv
