@@ -157,6 +157,9 @@ def init_kv_cache(cfg: TransformerConfig, batch: int, max_len: int,
     cache quantized per token per head, halving (or better) its HBM footprint
     and read bandwidth — dequantization happens inside the attention kernel
     (ops/quant.py)."""
+    if quant_dtype is not None:
+        from flashattn_tpu.ops.quant import resolve_quant_dtype
+        quant_dtype = resolve_quant_dtype(quant_dtype)
     shape = (batch, max_len, cfg.n_kv_heads, cfg.d_head)
     cache = {
         "length": jnp.zeros((), jnp.int32),
@@ -209,7 +212,8 @@ def decode_step(params, cache, token, cfg: TransformerConfig,
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         if quantized:
-            qt = quantize_kv(k, v, cache["k"][i].dtype)
+            qt = quantize_kv(k, v, cache["k"][i].dtype,
+                             allow_slow_fp8=True)
             kc = jax.lax.dynamic_update_slice_in_dim(
                 cache["k"][i], qt.k_q, pos, axis=1)
             vc = jax.lax.dynamic_update_slice_in_dim(
@@ -357,6 +361,11 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
 
     mesh_shape = dict(mesh.shape)
     rules = shard_params_leaf_rules(cfg)
+    # Multi-slice: the optional outermost "slice" axis (DCN) acts as extra
+    # batch DP — the ONLY collective crossing it is the gradient psum (and
+    # the scalar loss reduction); ring attention and tp psums stay on ICI.
+    batch_axes = (("slice", "data") if "slice" in mesh_shape
+                  else ("data",))
 
     def param_specs():
         layer_spec = {k: rules[k] for k in rules}
@@ -367,32 +376,44 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
         }
 
     pspecs = param_specs()
-    tok_spec = P("data", "seq")
+    tok_spec = P(batch_axes, "seq")
 
     def local_loss(params, tokens):
+        sp = mesh_shape["seq"]
+        B, nloc = tokens.shape
         logits = _local_forward_sharded(
-            params, tokens[:, :-1], cfg, mesh_shape, interpret=interpret
+            params, tokens, cfg, mesh_shape, interpret=interpret
         )
-        targets = tokens[:, 1:]
+        # Next-token targets with a one-token halo: the target of each
+        # shard's last position is the NEXT shard's first token (ppermute),
+        # so the sp>1 loss equals the sp=1 loss exactly; the global final
+        # position (whose halo wrapped around the ring) is masked out.
+        if sp > 1:
+            nxt = jax.lax.ppermute(
+                tokens[:, :1], "seq", [(i, (i - 1) % sp) for i in range(sp)])
+        else:
+            nxt = tokens[:, :1]
+        targets = jnp.concatenate([tokens[:, 1:], nxt], axis=1)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        # mean over the global batch×seq (psum over data+seq shards)
-        loss_sum = jax.lax.psum(jnp.sum(-ll), ("data", "seq"))
-        count = jax.lax.psum(ll.size, ("data", "seq"))
+        seq_idx = jax.lax.axis_index("seq")
+        gpos = seq_idx * nloc + jnp.arange(nloc)[None]
+        valid = jnp.broadcast_to(gpos < sp * nloc - 1, ll.shape)
+        # mean over the global batch x (seq-1) (psum over data+seq shards)
+        loss_sum = jax.lax.psum(jnp.sum(jnp.where(valid, -ll, 0.0)),
+                                (*batch_axes, "seq"))
+        count = jax.lax.psum(jnp.sum(valid), (*batch_axes, "seq"))
         return loss_sum / count
 
     def step(params, opt_state, tokens):
-        # Shift-window caveat under seq sharding: each shard computes loss on
-        # its local window only (boundary token crosses shards; acceptable for
-        # a training-throughput harness, exact at sp=1).
         loss, grads = jax.value_and_grad(local_loss)(params, tokens)
 
         # grads of tp-sharded leaves: psum over data+seq; replicated leaves
         # (embed, norms): psum over data+seq+model.
         def reduce_grads(g, spec):
-            axes = ("data", "seq")
+            axes = (*batch_axes, "seq")
             if not any(s == "model" for s in jax.tree_util.tree_leaves(spec)):
-                axes = ("data", "model", "seq")
+                axes = (*batch_axes, "model", "seq")
             return jax.lax.psum(g, axes)
 
         grads = {

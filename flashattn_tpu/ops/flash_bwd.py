@@ -33,6 +33,13 @@ from flashattn_tpu.utils import platform
 NUM_LANES = 128
 
 
+def _valid_split(n, block, align):
+    """Sub-tiling is only legal when the block divides into align-multiple
+    sub-tiles (lane/sublane constraints); otherwise run unsplit."""
+    return n if (n >= 1 and block % n == 0 and (block // n) % align == 0) \
+        else 1
+
+
 def _tile_should_run(q_tile, kv_tile, block_q, block_k, q_off, kv_off,
                      causal, window):
     """Whole-tile skip predicate (must be conservative: run any tile that
@@ -367,8 +374,9 @@ def dkv_padded(
             num_q_tiles=q_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_q_tiles_total=tq,
             static_offs=static_offsets,
-            q_splits=(max(1, block_q // 1024) if q_splits is None
-                      else q_splits),
+            q_splits=_valid_split(
+                max(1, block_q // 1024) if q_splits is None else q_splits,
+                block_q, 16),
         )
 
     dk, dv = pl.pallas_call(
@@ -480,8 +488,9 @@ def dq_padded(
             num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_kv_tiles_total=tk,
             static_offs=static_offsets,
-            kv_splits=(max(1, block_k // 1024) if kv_splits is None
-                       else kv_splits),
+            kv_splits=_valid_split(
+                max(1, block_k // 1024) if kv_splits is None else kv_splits,
+                block_k, NUM_LANES),
         )
 
     outs = pl.pallas_call(

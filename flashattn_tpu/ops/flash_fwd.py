@@ -411,6 +411,13 @@ def fwd_padded(
         # 111 TFLOP/s going from q_splits 1 to 4, measured on v5e).
         q_splits = (max(1, min(4, block_q // 256))
                     if kv_splits == 1 else 1)
+    # User-supplied block sizes may not divide evenly into lane/sublane-
+    # aligned sub-tiles (e.g. block_k=2176 -> sub_k=1088): fall back to
+    # unsplit rather than mis-tile.
+    if block_k % kv_splits or (block_k // kv_splits) % NUM_LANES:
+        kv_splits = 1
+    if block_q % q_splits or (block_q // q_splits) % 16:
+        q_splits = 1
     # Fold the softmax scale (in the kernel's log2 domain) into Q: one
     # elementwise pass XLA-fuses into the surrounding graph, instead of a
     # (bq, bk) VPU pass per KV step inside the kernel.

@@ -45,8 +45,33 @@ def _qmax(dtype) -> float:
     raise ValueError(f"unsupported KV quant dtype {dtype}")
 
 
-def quantize_kv(k: jax.Array, v: jax.Array, dtype=jnp.int8) -> QuantizedKV:
+def resolve_quant_dtype(dtype, *, allow_slow_fp8: bool = False):
+    """Guard against the fp8 performance trap: on chips without native fp8
+    matmuls (TPU v5e/v5p) fp8 KV is 5-7× slower than int8 — software operand
+    conversion — and even slower than unquantized bf16 (decode.jsonl). Unless
+    ``allow_slow_fp8`` is set, fp8 requests on such chips warn and fall back
+    to int8 (same memory footprint, fastest path)."""
+    from flashattn_tpu.utils import platform
+
+    if (jnp.dtype(dtype) == jnp.dtype(jnp.float8_e4m3fn)
+            and not allow_slow_fp8 and not platform.native_fp8_matmul()):
+        import warnings
+
+        warnings.warn(
+            "fp8 KV quantization requested but this accelerator has no "
+            "native fp8 matmul (software conversion measured 5-7x slower "
+            "than int8 on TPU v5e); falling back to int8. Pass "
+            "allow_slow_fp8=True to force fp8.",
+            stacklevel=3,
+        )
+        return jnp.dtype(jnp.int8)
+    return jnp.dtype(dtype)
+
+
+def quantize_kv(k: jax.Array, v: jax.Array, dtype=jnp.int8,
+                *, allow_slow_fp8: bool = False) -> QuantizedKV:
     """Per-token symmetric quantization of K and V (`[B, H, N, D]`)."""
+    dtype = resolve_quant_dtype(dtype, allow_slow_fp8=allow_slow_fp8)
     qmax = _qmax(dtype)
 
     def quant(x):
@@ -106,7 +131,8 @@ def flash_attention_quantized(
     kdt = _dispatch_dtype(in_dtype)
     q = q.astype(kdt)
 
-    blocks = choose_block_sizes(Nq, Nk, D, kdt)
+    blocks = choose_block_sizes(Nq, Nk, D, kdt, bias is not None,
+                                bool(causal))
     bq, bk = blocks.block_q, blocks.block_k
     nqp, nkp = _round_up(Nq, bq), _round_up(Nk, bk)
     dp = _pad_head_dim(D)
@@ -133,7 +159,7 @@ def flash_attention_quantized(
         qp, kp, vp, bp, offsets, ksp, vsp,
         scale=float(scale), causal=bool(causal), block_q=bq, block_k=bk,
         kv_valid_len=Nk, return_lse=False, num_heads_q=Hq,
-        interpret=interpret,
+        interpret=interpret, static_offsets=(0, 0),
     )
     o = o[:, :, :Nq, :D].astype(in_dtype)
     return jnp.swapaxes(o, 1, 2) if layout == "BNHD" else o

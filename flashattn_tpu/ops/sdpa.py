@@ -50,6 +50,11 @@ def scaled_dot_product_attention(
     ``attn_mask``: boolean (True = attend) or additive float, broadcastable to
     ``[B, H, Nq, Nk]``; ranks < 4 are left-padded with size-1 dims.
     ``impl``: "auto" (shape-based fused/exact dispatch), "fused", or "exact".
+    Note the exact path materializes the full [Nq, Nk] score matrix (O(N·Nk)
+    memory, f32) — "auto" only routes there for shapes where that is small;
+    force ``impl="fused"`` if O(N) memory matters more than small-shape speed.
+    ``interpret`` applies to both paths (exact ignores it semantically but
+    accepts it for call-site symmetry).
     """
     bias = None
     if attn_mask is not None:

@@ -65,6 +65,11 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
     """Per-chunk-pair (dQ, dK, dV) via the single-device bwd kernels, with
     the *global* LSE/delta so partial gradients sum exactly."""
     B, H, nq, D = q.shape
+    Hkv = k_blk.shape[1]
+    rep = H // Hkv
+    if rep > 1:
+        k_blk = jnp.repeat(k_blk, rep, axis=1)
+        v_blk = jnp.repeat(v_blk, rep, axis=1)
     nk = k_blk.shape[2]
     offsets = jnp.stack([jnp.asarray(q_off, jnp.int32),
                          jnp.asarray(kv_off, jnp.int32)])
@@ -106,6 +111,9 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
         kv_valid_len=nk, window=window,
     )
     dq = dq[:, :, :nq, :D].astype(jnp.float32)
+    if rep > 1:
+        dk = dk.reshape(B, Hkv, rep, nk, D).sum(axis=2)
+        dv = dv.reshape(B, Hkv, rep, nk, D).sum(axis=2)
     return dq, dk, dv
 
 
@@ -183,8 +191,9 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
     )
 
     dq = jnp.zeros((B, H, nq, D), jnp.float32)
-    dk_acc = jnp.zeros((B, H, nk, D), jnp.float32)
-    dv_acc = jnp.zeros((B, H, nk, D), jnp.float32)
+    Hkv = k.shape[1]
+    dk_acc = jnp.zeros((B, Hkv, nk, D), jnp.float32)
+    dv_acc = jnp.zeros((B, Hkv, nk, D), jnp.float32)
     k_blk, v_blk = k, v
     for step in range(n_dev):
         src = (idx - step) % n_dev
@@ -242,10 +251,10 @@ def ring_attention(
         scale = float(q.shape[-1]) ** -0.5
     kdt = _dispatch_dtype(q.dtype)
     in_dtype = q.dtype
-    H, Hkv = q.shape[1], k.shape[1]
-    if Hkv != H:
-        k = jnp.repeat(k, H // Hkv, axis=1)
-        v = jnp.repeat(v, H // Hkv, axis=1)
+    # GQA: K/V stay at Hkv heads through the ring — every ppermute carries
+    # only Hkv/Hq of the naive traffic; the fused kernel reads KV heads
+    # via its GQA BlockSpec index map, and the backward expands per chunk
+    # locally (VMEM, not ICI) and reduces dK/dV back to Hkv.
     o = _ring_core(
         q.astype(kdt), k.astype(kdt), v.astype(kdt),
         axis_name, int(axis_size), bool(causal), float(scale),

@@ -38,6 +38,17 @@ def ulysses_attention(
     B, H, nq_loc, D = q.shape
     if H % n != 0:
         raise ValueError(f"Ulysses needs n_devices | heads: H={H}, n={n}")
+    if bias is not None:
+        # A caller inside shard_map holds sequence-LOCAL tensors; a local
+        # bias slice would be silently wrong after the seq->head all-to-all
+        # (the kernel then sees the full sequence). No well-defined local
+        # contract exists, so reject instead of mis-computing.
+        raise ValueError(
+            "ulysses_attention does not support bias: inputs are sequence-"
+            "sharded but the post-all-to-all kernel sees the full sequence; "
+            "use ring_attention (windowed/causal masks) or replicated "
+            "full-sequence attention with bias instead."
+        )
     Hkv = k.shape[1]
     if Hkv != H and Hkv % n != 0:
         k = jnp.repeat(k, H // Hkv, axis=1)
@@ -56,7 +67,7 @@ def ulysses_attention(
 
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
     og = flash_attention(
-        qg, kg, vg, causal=causal, scale=scale, bias=bias
+        qg, kg, vg, causal=causal, scale=scale
     )
     return head_to_seq(og)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -64,7 +65,22 @@ def restore(path: str, *, like=None):
         raise ValueError("npz fallback restore requires `like=`")
     data = np.load(npz)
     leaves, treedef = jax.tree_util.tree_flatten(like)
-    new = [data[f"leaf{i}"] for i in range(len(leaves))]
+    n_saved = sum(1 for k in data.files if k.startswith("leaf"))
+    if n_saved != len(leaves):
+        raise ValueError(
+            f"checkpoint {npz} holds {n_saved} leaves but `like` has "
+            f"{len(leaves)} — structure mismatch")
+    new = []
+    for i, ref in enumerate(leaves):
+        leaf = data[f"leaf{i}"]
+        ref_shape = np.shape(ref)
+        if tuple(leaf.shape) != tuple(ref_shape):
+            raise ValueError(
+                f"checkpoint leaf {i}: saved shape {leaf.shape} != "
+                f"`like` shape {ref_shape}")
+        if hasattr(ref, "dtype"):
+            leaf = jnp.asarray(leaf, dtype=ref.dtype)
+        new.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, new)
 
 

@@ -40,6 +40,21 @@ def num_devices() -> int:
     return jax.device_count()
 
 
+@functools.lru_cache(maxsize=None)
+def native_fp8_matmul() -> bool:
+    """Whether the local accelerator multiplies fp8 natively.
+
+    TPU v5e/v5p convert fp8 operands in software — measured 5-7× SLOWER than
+    int8 in-kernel dequant on v5e (benchmarks/results/decode.jsonl) — so fp8
+    KV quantization silently degrades there. v6e (Trillium) and later have
+    native fp8 MXU paths.
+    """
+    if not on_tpu():
+        return False
+    kind = jax.devices()[0].device_kind.lower()
+    return any(t in kind for t in ("v6", "v7"))
+
+
 def enable_compilation_cache(
     cache_dir: str | None = None, *, min_compile_secs: float = 1.0
 ) -> str | None:

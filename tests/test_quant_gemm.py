@@ -24,11 +24,24 @@ def test_quantized_matches_dequant_oracle(qdtype, causal):
     isolates kernel plumbing from quantization error."""
     q, k, v = make_qkv(jax.random.PRNGKey(0), 1, 2, 200, 64, Nk=150,
                        dtype=jnp.bfloat16)
-    qkv = quantize_kv(k, v, dtype=qdtype)
+    qkv = quantize_kv(k, v, dtype=qdtype, allow_slow_fp8=True)
     got = flash_attention_quantized(q, qkv, causal=causal)
     kd, vd = dequantize_kv(qkv, jnp.float32)
     want = attention_reference(q.astype(jnp.float32), kd, vd, causal=causal)
     assert_close(got.astype(jnp.float32), want, FWD_TOL[jnp.bfloat16.dtype])
+
+
+def test_fp8_guard_warns_and_falls_back():
+    """fp8 on chips without native fp8 matmuls (v5e, CPU) must warn and
+    quantize as int8 instead (the 5-7x decode perf trap, NOTES.md item 4);
+    allow_slow_fp8=True forces fp8 through."""
+    _, k, v = make_qkv(jax.random.PRNGKey(3), 1, 2, 64, 64,
+                       dtype=jnp.bfloat16)
+    with pytest.warns(UserWarning, match="native fp8"):
+        qkv = quantize_kv(k, v, dtype=jnp.float8_e4m3fn)
+    assert qkv.k_q.dtype == jnp.int8
+    qkv = quantize_kv(k, v, dtype=jnp.float8_e4m3fn, allow_slow_fp8=True)
+    assert qkv.k_q.dtype == jnp.float8_e4m3fn
 
 
 def test_quantized_close_to_full_precision():
