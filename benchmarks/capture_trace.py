@@ -22,6 +22,32 @@ from flashattn_tpu.utils.platform import enable_compilation_cache
 enable_compilation_cache()
 
 
+def capture_ring_trace(out_dir: str, n_dev: int = 8):
+    """Trace one ring-attention step on the available mesh (virtual CPU
+    mesh when single-chip). The fwd loop issues step s+1's KV ppermute
+    BEFORE step s's kernels; on real multi-chip TPU the latency-hiding
+    scheduler splits the permute into start/done around the compute — this
+    capture is the artifact to check that on hardware (single-chip traces
+    show only the compute; ICI overlap needs >= 2 chips)."""
+    import jax.numpy as jnp
+
+    from flashattn_tpu.parallel import make_mesh, ring_attention_sharded
+    from flashattn_tpu.utils import profiling
+    from flashattn_tpu.utils.testing import make_qkv
+
+    n = min(n_dev, jax.device_count())
+    mesh = make_mesh(seq=n)
+    fn = ring_attention_sharded(mesh, causal=True, batch_axis=None,
+                                head_axis=None)
+    q, k, v = make_qkv(jax.random.PRNGKey(0), 1, 4, 512 * n, 64,
+                       dtype=jnp.float32)
+    fn(q, k, v).block_until_ready()  # compile outside the capture
+    with profiling.trace(out_dir):
+        with profiling.annotate("ring_attention_step"):
+            fn(q, k, v).block_until_ready()
+    return out_dir
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/flashattn_tpu_trace")
@@ -29,7 +55,14 @@ def main():
     ap.add_argument("--D", type=int, default=128)
     ap.add_argument("--causal", action="store_true")
     ap.add_argument("--no-bwd", action="store_true")
+    ap.add_argument("--ring", action="store_true",
+                    help="trace a ring-attention step instead")
     args = ap.parse_args()
+
+    if args.ring:
+        out = capture_ring_trace(args.out)
+        print(f"ring trace written to {out}")
+        return
 
     from flashattn_tpu import flash_attention
     from flashattn_tpu.utils import profiling

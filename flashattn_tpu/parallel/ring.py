@@ -137,6 +137,17 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
         src = (idx - step) % n_dev
         kv_off = src * nk
 
+        # Double-buffered rotation: issue the NEXT step's ppermute BEFORE
+        # this step's attention kernel. The permute consumes the same
+        # (k_blk, v_blk) the kernel reads, so the two are independent and
+        # XLA's latency-hiding scheduler overlaps the ICI transfer with the
+        # per-tile compute (the north-star overlap clause; the distributed
+        # analogue of the reference's online-softmax merge state,
+        # kernel_fp16.cu:541-542).
+        if step < n_dev - 1:
+            k_next = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
+            v_next = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+
         def compute(o, lse, k_blk=k_blk, v_blk=v_blk, kv_off=kv_off):
             o_p, lse_p = _partial_fwd(
                 q, k_blk, v_blk, q_off, kv_off,
@@ -154,8 +165,7 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
             )
 
         if step < n_dev - 1:
-            k_blk = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
-            v_blk = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+            k_blk, v_blk = k_next, v_next
     return o.astype(q.dtype), lse
 
 
@@ -207,6 +217,12 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
             )
             return dq + dq_p, dk_acc + dk_p, dv_acc + dv_p
 
+        # K/V for step s+1 rotate concurrently with step s's grad kernels
+        # (same double-buffering as the forward loop).
+        if step < n_dev - 1:
+            k_next = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
+            v_next = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+
         needed = _chunk_needed(q_off, kv_off, nq, nk, causal, window)
         if needed is True:
             dq, dk_acc, dv_acc = compute(dq, dk_acc, dv_acc)
@@ -217,10 +233,12 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
             )
 
         if step < n_dev - 1:
-            k_blk = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
-            v_blk = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+            k_blk, v_blk = k_next, v_next
         # accumulators travel with their chunk every step, including the
         # last: after this final rotation each (dK, dV) is home again.
+        # (They rotate AFTER the compute that updates them — this permute
+        # cannot overlap its own producer, but it overlaps the NEXT step's
+        # kernels in the unrolled schedule.)
         dk_acc = jax.lax.ppermute(dk_acc, axis_name, _perm(n_dev))
         dv_acc = jax.lax.ppermute(dv_acc, axis_name, _perm(n_dev))
 
