@@ -30,6 +30,15 @@ def main():
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=jnp.bfloat16)
     flops = attention_flops(B, H, N, N, D, causal=False, mode="fwd")
 
+    # Numerics gate: the bench IS an on-chip integration test (the
+    # reference prints max diff before TFLOPS, bench_with_sdpa.py:140-141).
+    o = flash_attention(q[:, :2], k[:, :2], v[:, :2])
+    w = attention_reference(*(x[:, :2].astype(jnp.float32)
+                              for x in (q, k, v)))
+    maxdiff = float(jnp.max(jnp.abs(o.astype(jnp.float32) - w)))
+    if maxdiff > 2e-2:
+        raise SystemExit(f"BENCH NUMERICS GATE FAILED: maxdiff={maxdiff}")
+
     t_ours = time_chained(lambda qq, k, v: flash_attention(qq, k, v), q,
                           consts=(k, v), iters=32, warmup_iters=8, repeats=3)
     t_xla = time_chained(

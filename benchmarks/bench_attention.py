@@ -32,8 +32,43 @@ enable_compilation_cache()
 
 from flashattn_tpu import flash_attention
 from flashattn_tpu.ops.oracle import attention_reference
-from flashattn_tpu.utils.testing import make_qkv
+from flashattn_tpu.utils.testing import FWD_TOL, make_qkv
 from flashattn_tpu.utils.timing import attention_flops, time_chained
+
+# Shapes above this score-matrix size skip the in-bench oracle check (the
+# exact softmax materializes [N, Nk] f32 per head).
+_ORACLE_MAX_SCORES = 8192 * 8192
+
+
+def bench_maxdiff(fn, q, k, v, causal, layout, window=None, dtype=None):
+    """Forward max-abs diff vs the exact-softmax oracle on (a head-slice
+    of) the same inputs — every bench point doubles as an on-chip
+    integration test, the reference's practice (bench_with_sdpa.py:140-141;
+    SURVEY.md §4.4). Returns None when the oracle would not fit."""
+    nq_ax = 2 if layout == "BHND" else 1
+    if q.shape[nq_ax] * k.shape[nq_ax] > _ORACLE_MAX_SCORES:
+        return None
+    h_ax = 1 if layout == "BHND" else 2
+    sl = [slice(None)] * 4
+    sl[h_ax] = slice(0, min(2, q.shape[h_ax]))  # 2 heads: systematic bugs
+    qs, ks, vs = q[tuple(sl)], k[tuple(sl)], v[tuple(sl)]
+    o = fn(qs, ks, vs, causal, layout)
+    if layout == "BNHD":
+        qs, ks, vs, o = (x.swapaxes(1, 2) for x in (qs, ks, vs, o))
+    w = attention_reference(*(x.astype(jnp.float32) for x in (qs, ks, vs)),
+                            causal=causal, window=window)
+    return float(jnp.max(jnp.abs(o.astype(jnp.float32) - w)))
+
+
+def peak_memory_bytes(step, *args):
+    """Compiled peak memory (temps + args + outputs) — the reference's
+    per-point VRAM column (bench_with_sdpa.py:34)."""
+    try:
+        ma = jax.jit(step).lower(*args).compile().memory_analysis()
+        return int(ma.temp_size_in_bytes + ma.argument_size_in_bytes +
+                   ma.output_size_in_bytes)
+    except Exception:
+        return None
 
 
 def xla_sdpa(q, k, v, causal, layout="BHND"):
@@ -48,10 +83,11 @@ def jax_pallas_fa(q, k, v, causal, layout="BHND"):
         flash_attention as jfa,
     )
 
+    sm = q.shape[-1] ** -0.5  # jfa defaults sm_scale=1.0, oracle uses D^-0.5
     if layout == "BNHD":
         q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
-        return jfa(q, k, v, causal=causal).swapaxes(1, 2)
-    return jfa(q, k, v, causal=causal)
+        return jfa(q, k, v, causal=causal, sm_scale=sm).swapaxes(1, 2)
+    return jfa(q, k, v, causal=causal, sm_scale=sm)
 
 
 def ours(q, k, v, causal, layout="BHND", window=None):
@@ -87,6 +123,10 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
     try:
         t = time_chained(step, q, consts=(k, v), iters=iters,
                          warmup_iters=max(2, iters // 4), repeats=2)
+        fwd_only = lambda qq, kk, vv, c, lo: fn(qq, kk, vv, c, lo, **kw)
+        maxdiff = bench_maxdiff(fwd_only, q, k, v, causal, layout,
+                                window=window)
+        mem = peak_memory_bytes(step, q, k, v)
     except Exception as e:  # noqa: BLE001 — record failures, keep sweeping
         print(json.dumps({"impl": impl_name, "B": B, "H": H, "N": N, "D": D,
                           "causal": causal, "mode": mode,
@@ -98,10 +138,21 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
         "causal": causal, "mode": mode, "dtype": str(jnp.dtype(dtype)),
         "layout": layout,
         "ms": round(t * 1e3, 4), "tflops": round(flops / t / 1e12, 2),
+        "maxdiff": round(maxdiff, 6) if maxdiff is not None else None,
+        "peak_mem_mb": round(mem / 2**20, 1) if mem else None,
     }
     if window is not None:
         rec["window"] = list(window)
     print(json.dumps(rec), flush=True)
+    tol = FWD_TOL.get(jnp.dtype(dtype))
+    if (impl_name == "ours" and maxdiff is not None and tol is not None
+            and maxdiff > tol.atol):
+        # baselines' maxdiff is recorded but informational; OUR kernel's is
+        # a hard on-chip correctness gate (reference practice,
+        # bench_with_sdpa.py:140-141)
+        raise SystemExit(
+            f"BENCH NUMERICS GATE FAILED: {impl_name} {rec} "
+            f"maxdiff {maxdiff} > {tol.atol}")
     return rec
 
 

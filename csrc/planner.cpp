@@ -57,13 +57,23 @@ int fa_plan(int nq, int nk, int d, int itemsize, int causal, int has_bias,
   if (nq <= 32) out->block_q = std::max(16, round_up(nq, 16));
   // 2048-wide blocks run as 2x1024 sub-tiles in-kernel (MXU/VPU overlap).
   // Causal prefers square 1024 tiles: the flat-grid diagonal block is then
-  // exactly half-masked with no fully-dead sub-tile.
+  // exactly half-masked with no fully-dead sub-tile. Off-multiple Nk drops
+  // to 1024-wide blocks when that shrinks the padded tail.
   // — mirrors ops/flash.py::_python_block_policy
-  out->block_k = fit(nk, big_d ? 512 : (causal ? 1024 : 2048));
-  out->block_q_dkv = fit(nq, big_d ? 256 : (has_bias ? 512 : 2048));
+  int bk_pref = big_d ? 512 : (causal ? 1024 : 2048);
+  if (bk_pref == 2048 && round_up(nk, 1024) < round_up(nk, 2048))
+    bk_pref = 1024;
+  out->block_k = fit(nk, bk_pref);
+  int bq_dkv_pref = big_d ? 256 : (has_bias ? 512 : 2048);
+  if (bq_dkv_pref == 2048 && round_up(nq, 1024) < round_up(nq, 2048))
+    bq_dkv_pref = 1024;
+  out->block_q_dkv = fit(nq, bq_dkv_pref);
   out->block_k_dkv = fit(nk, big_d ? 256 : (has_bias ? 512 : 1024));
   out->block_q_dq = fit(nq, big_d ? 256 : (has_bias ? 512 : 1024));
-  out->block_k_dq = fit(nk, big_d ? 256 : (has_bias ? 512 : 2048));
+  int bk_dq_pref = big_d ? 256 : (has_bias ? 512 : 2048);
+  if (bk_dq_pref == 2048 && round_up(nk, 1024) < round_up(nk, 2048))
+    bk_dq_pref = 1024;
+  out->block_k_dq = fit(nk, bk_dq_pref);
 
   out->nq_padded = round_up(nq, out->block_q);
   out->nk_padded = round_up(nk, out->block_k);

@@ -64,9 +64,9 @@ def choose_block_sizes(nq: int, nk: int, d: int, dtype,
     short sequences so tiny inputs do not pad to 2× their size; cap the
     scores-tile VMEM when D is large (the reference's D>384 → Br=32 rule,
     FlashAttn.py:66-67, translated to VMEM terms) or when a bias adds an
-    f32 (block_q, block_k) tile to the working set. Causal runs halve the
-    Q tile: the wasted MXU work on the half-masked diagonal band is
-    N·block_q/2, so block_q=512 costs 12.5%% overhead instead of 25%%.
+    f32 (block_q, block_k) tile to the working set. Causal runs use square
+    (1024, 1024) tiles — the flat-grid diagonal block is then exactly
+    half-masked with no fully-dead sub-tile.
     """
     try:
         from flashattn_tpu.utils import native
@@ -102,19 +102,34 @@ def _python_block_policy(nq: int, nk: int, d: int, itemsize: int,
     block_q = fit(nq, 512 if small else 1024)
     if nq <= 32:
         block_q = max(16, _round_up(nq, 16))
+    # 2048-wide blocks run as 2×1024 sub-tiles inside the kernels (MXU/VPU
+    # overlap, see flash_fwd kv_splits / flash_bwd q_splits): fwd +16%,
+    # fwd+bwd +10% measured on v5e at D=128. Causal prefers square 1024
+    # tiles: the flat-grid diagonal block is then exactly half-masked with
+    # no fully-dead sub-tile. Off-multiple Nk (e.g. 3072, 5120) drops to
+    # 1024-wide blocks when that shrinks the padded tail (a 33% pad at
+    # N=3072 measured 62 vs 85 TFLOP/s).
+    bk_pref = 512 if d > 256 else (1024 if causal else 2048)
+    if (bk_pref == 2048
+            and _round_up(nk, 1024) < _round_up(nk, 2048)):
+        bk_pref = 1024
     return BlockSizes(
         block_q=block_q,
-        # 2048-wide blocks run as 2×1024 sub-tiles inside the kernels
-        # (MXU/VPU overlap, see flash_fwd kv_splits / flash_bwd q_splits):
-        # fwd +16%, fwd+bwd +10% measured on v5e at D=128. Causal prefers
-        # square 1024 tiles: the flat-grid diagonal block is then exactly
-        # half-masked with no fully-dead sub-tile.
-        block_k=fit(nk, 512 if d > 256 else (1024 if causal else 2048)),
-        block_q_dkv=fit(nq, 256 if d > 256 else (512 if has_bias else 2048)),
+        block_k=fit(nk, bk_pref),
+        block_q_dkv=fit(nq, _pad_aware(nq, 256 if d > 256
+                                       else (512 if has_bias else 2048))),
         block_k_dkv=fit(nk, 256 if d > 256 else (512 if has_bias else 1024)),
         block_q_dq=fit(nq, 256 if d > 256 else (512 if has_bias else 1024)),
-        block_k_dq=fit(nk, 256 if d > 256 else (512 if has_bias else 2048)),
+        block_k_dq=fit(nk, _pad_aware(nk, 256 if d > 256
+                                      else (512 if has_bias else 2048))),
     )
+
+
+def _pad_aware(n: int, pref: int) -> int:
+    """Drop a 2048 preference to 1024 when that halves the padded tail."""
+    if pref == 2048 and _round_up(n, 1024) < _round_up(n, 2048):
+        return 1024
+    return pref
 
 
 def _round_up(x: int, m: int) -> int:
