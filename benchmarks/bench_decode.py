@@ -74,16 +74,21 @@ def bench_quantized_attn(B, H, nk, D, iters, kv_dtype):
         step = lambda qq, k, v: qq + 0.0 * flash_attention(qq, k, v)
         consts = (k, v)
     else:
+        # allow_slow_fp8: measure REAL fp8 here (the library guard would
+        # silently fall back to int8 on chips without native fp8 — the
+        # bench's job is to record the honest fp8 number per chip)
         qkv = quantize_kv(k, v, jnp.int8 if kv_dtype == "int8"
-                          else jnp.float8_e4m3fn)
+                          else jnp.float8_e4m3fn, allow_slow_fp8=True)
         step = lambda qq, qkv: qq + 0.0 * flash_attention_quantized(qq, qkv)
         consts = (qkv,)
 
     t = time_chained(step, q, consts=consts, iters=iters,
                      warmup_iters=max(2, iters // 4), repeats=2)
     kv_bytes = 2 * B * H * nk * D * (2 if kv_dtype == "bf16" else 1)
+    from flashattn_tpu.utils.platform import native_fp8_matmul
     rec = {
         "bench": "decode_attn", "kv_dtype": kv_dtype,
+        **({"native_fp8": native_fp8_matmul()} if kv_dtype == "fp8" else {}),
         "B": B, "H": H, "nk": nk, "D": D,
         "us": round(t * 1e6, 2),
         "kv_read_gbps": round(kv_bytes / t / 1e9, 1),
