@@ -129,6 +129,8 @@ def _bwd_fused_kernel(
     window: tuple[int, int] | None,
     static_offs: tuple[int, int],
     mask_value: float,
+    tri_edge: bool = False,
+    tri_sub: int = 256,
 ):
     wl, wr = window if window is not None else (-1, -1)
     need_tail_mask = kv_valid_len != kv_padded_len
@@ -211,10 +213,51 @@ def _bwd_fused_kernel(
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
+    def _compute_tri():
+        # Diagonal pair under the tri_edge gate (flat causal grid, square
+        # tiles, equal offsets → every non-full live pair has row0 == col0).
+        # Chunk the q rows: chunk qp's live columns are [0, (qp+1)·tri_sub),
+        # so all 5 matmuls shrink to statically-narrower shapes (62.5% of
+        # the square pair's MXU work at 4 chunks) — same design as the
+        # forward's tri/resident paths; no predication inside the body.
+        prec = (jax.lax.Precision.HIGHEST
+                if q2_ref.dtype == jnp.float32 else None)
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        n_chunks = block_q // tri_sub
+        for qp in range(n_chunks):
+            rsl = slice(qp * tri_sub, (qp + 1) * tri_sub)
+            w = (qp + 1) * tri_sub
+            q2c = q2_ref[0, 0, rsl, :]
+            doc = do_ref[0, 0, rsl, :]
+            s2 = jax.lax.dot_general(
+                q2c, k[:w], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dp = jax.lax.dot_general(
+                doc, v[:w], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dmat = (jax.lax.broadcasted_iota(jnp.int32, (tri_sub, w), 1)
+                    - jax.lax.broadcasted_iota(jnp.int32, (tri_sub, w), 0))
+            s2 = jnp.where(dmat <= qp * tri_sub, s2, mask_value)
+            p = jnp.exp2(s2 - lse2_ref[0, 0, rsl, :1])
+            mmd = doc.dtype
+            dv_scr[:w, :] += jax.lax.dot_general(
+                p.astype(mmd), doc,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            ds = (p * (dp - delta_ref[0, 0, rsl, :1])).astype(mmd)
+            dk_scr[:w, :] += jax.lax.dot_general(
+                ds, q2c, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dq_acc[pl.ds(pl.multiple_of(i * block_q, block_q) + qp * tri_sub,
+                         tri_sub), :] += jax.lax.dot_general(
+                ds, k[:w], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
     if masking:
         pl.when(jnp.logical_and(live, blk_full))(lambda: _compute(False))
         pl.when(jnp.logical_and(live, jnp.logical_not(blk_full)))(
-            lambda: _compute(True))
+            _compute_tri if tri_edge else (lambda: _compute(True)))
     else:
         _compute(False)
 
@@ -256,6 +299,16 @@ def bwd_fused_padded(
         q_off=static_offsets[0], kv_off=static_offsets[1],
         need_tail_mask=kv_valid_len != Nkp, kv_valid_len=kv_valid_len)
     n_pairs = tab.shape[1]
+
+    # Triangular diagonal pairs (see _compute_tri): sound exactly when every
+    # non-full live pair is diagonal — same gate as the forward's tri path.
+    tri_sub = max(NUM_LANES, block_q // 4)
+    tri_edge = bool(
+        causal and window is None and kv_valid_len == Nkp
+        and block_q == block_k
+        and static_offsets[0] == static_offsets[1]
+        and block_q % tri_sub == 0 and tri_sub % NUM_LANES == 0
+        and block_q // tri_sub >= 2)
 
     def qi(b, h, p, tab_ref):
         return (b, h, tab_ref[BT_I, p], 0)
@@ -300,6 +353,7 @@ def bwd_fused_padded(
             kv_valid_len=kv_valid_len, kv_padded_len=Nkp, window=window,
             static_offs=tuple(int(x) for x in static_offsets),
             mask_value=DEFAULT_MASK_VALUE,
+            tri_edge=tri_edge, tri_sub=tri_sub,
         )
 
     n_live = int(tab[BT_LIVE].sum())

@@ -143,6 +143,7 @@ def _fwd_kernel(
     q_splits: int = 1,
     aug_width: int = 0,
     head_dim: int = 0,
+    tri_edge: bool = False,
 ):
     wl, wr = window if window is not None else (-1, -1)
     need_tail_mask = kv_valid_len != kv_padded_len
@@ -263,9 +264,7 @@ def _fwd_kernel(
                 mask = jnp_and(mask, col_l < kv_valid_len - col0)
             return mask
 
-        def update(qp, kp, s, mask):
-            rows = slice(qp * sub_q, (qp + 1) * sub_q)
-            cols = slice(kp * sub_k, (kp + 1) * sub_k)
+        def update(rows, cols, s, mask):
             if k_scale_ref is not None:
                 # Quantized K: per-token dequant folded as a *column*
                 # scaling of the scores, s_j·(q·k_j) = q·(s_j k_j) —
@@ -305,6 +304,10 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
+        def slices(qp, kp):
+            return (slice(qp * sub_q, (qp + 1) * sub_q),
+                    slice(kp * sub_k, (kp + 1) * sub_k))
+
         def fast_block():
             # No masks in this block: issue ALL sub-tile QK^T dots up front —
             # each is independent of the other sub-tiles' softmax, so Mosaic
@@ -312,7 +315,7 @@ def _fwd_kernel(
             # (VPU): 141 -> 164 TFLOP/s at D=128 on v5e.
             s_parts = {pt: qk_dot(*pt) for pt in parts}
             for pt in parts:
-                update(*pt, s_parts[pt], mask=None)
+                update(*slices(*pt), s_parts[pt], mask=None)
 
         def edge_block():
             # Branch-free edge blocks: pre-issued dots, every sub-tile
@@ -322,13 +325,42 @@ def _fwd_kernel(
             # work saves).
             s_parts = {pt: qk_dot(*pt) for pt in parts}
             for pt in parts:
-                update(*pt, s_parts[pt], part_mask(*pt))
+                update(*slices(*pt), s_parts[pt], part_mask(*pt))
+
+        def tri_block():
+            # Triangular diagonal block (tri_edge launches only: flat causal
+            # grid, square blocks, equal static offsets — every non-full
+            # live pair then sits exactly ON the diagonal, row0 == col0).
+            # Chunk qp's live columns are exactly [0, (qp+1)*sub_q): issue a
+            # statically-narrower QK^T + PV pair per chunk instead of the
+            # full-width dot-then-mask (at q_splits=4 that is 62.5% of the
+            # square block's MXU work; the reference masks the full tile,
+            # kernel_fp16.cu:396-411). Shapes are static per chunk — no
+            # predication, per the round-2 "branch regions defeat Mosaic
+            # interleaving" finding.
+            s_parts = {}
+            for qp in range(q_splits):
+                w = (qp + 1) * sub_q
+                qc = q_ref[0, 0, qp * sub_q:(qp + 1) * sub_q, :]
+                kc = k_ref[0, 0, :w, :]
+                if kc.dtype in (jnp.int8.dtype, jnp.float8_e4m3fn.dtype):
+                    kc = kc.astype(qc.dtype)
+                s_parts[qp] = jax.lax.dot_general(
+                    qc, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+            for qp in range(q_splits):
+                w = (qp + 1) * sub_q
+                dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
+                        - jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 0))
+                update(slice(qp * sub_q, (qp + 1) * sub_q), slice(0, w),
+                       s_parts[qp], dmat <= qp * sub_q)
 
         if not masking:
             fast_block()
         else:
             pl.when(blk_full)(fast_block)
-            pl.when(jnp.logical_not(blk_full))(edge_block)
+            pl.when(jnp.logical_not(blk_full))(
+                tri_block if tri_edge else edge_block)
 
     if should_run is True:
         _compute()
@@ -352,6 +384,154 @@ def _fwd_kernel(
                            ).astype(o_ref.dtype)
             if lse_ref is not None:
                 lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
+
+
+def _fwd_causal_resident_kernel(
+    q_ref,     # VMEM (1, 1, N, D) — whole (padded) sequence resident
+    k_ref,     # VMEM (1, 1, N, D)
+    v_ref,     # VMEM (1, 1, N, D)
+    o_ref,     # VMEM (1, 1, N, D)
+    lse_ref,   # VMEM (1, 1, N, NUM_LANES) or None
+    *,
+    n: int,
+    sub_q: int,
+    sub_k: int,
+    head_dim: int,
+    aug_width: int,
+    mask_value: float,
+):
+    """Whole-sequence causal forward, one grid step per (batch, head).
+
+    The flat-grid causal kernel (above) pays a pipeline bubble per q-row
+    transition (init + store + un-overlapped DMA): measured ~1.5 µs × Tq rows
+    on v5e, which is why causal sat at ~120 TFLOP/s equal-work at N=4096
+    while N=8192 (longer rows) reached 136.  Here the entire causal tile
+    structure is STATIC: Q/K/V for one head stay resident in VMEM, the
+    (q_chunk × kv_tile) pairs are enumerated at trace time (skips below the
+    diagonal cost nothing, partial tiles issue statically-narrower dots),
+    and the online-softmax state is plain dataflow values per chain — no
+    scratch round-trips, no branches, nothing for Mosaic to predicate.
+    Role-parity: the reference's whole-row workgroup loop
+    (kernel_fp16.cu:381-508) with the mask work deleted at compile time.
+    """
+    prec = (jax.lax.Precision.HIGHEST
+            if q_ref.dtype == jnp.float32 else None)
+    mm_dtype = q_ref.dtype
+    v = v_ref[0, 0]
+    if aug_width:
+        v_full = jnp.concatenate(
+            [v, jnp.ones((n, aug_width), v.dtype)], axis=1)
+    else:
+        v_full = v
+
+    n_chains = n // sub_q
+
+    def chain_tiles(qp):
+        """Static (col0, width, mask_offset|None) list for chain qp."""
+        row_first, row_last = qp * sub_q, qp * sub_q + sub_q - 1
+        tiles = []
+        for kp in range(n // sub_k):
+            col0 = kp * sub_k
+            if col0 > row_last:
+                break
+            if col0 + sub_k - 1 <= row_first:
+                tiles.append((col0, sub_k, None))          # full tile
+            else:
+                w = min(sub_k, row_last + 1 - col0)
+                w = ((w + NUM_LANES - 1) // NUM_LANES) * NUM_LANES
+                tiles.append((col0, w, row_first - col0))  # triangular
+        return tiles
+
+    tiles = [chain_tiles(qp) for qp in range(n_chains)]
+    max_rounds = max(len(t) for t in tiles)
+
+    # state[qp] = (m, l, acc) values — pure dataflow, no scratch refs.
+    state = {}
+    for qp in range(n_chains):
+        state[qp] = (
+            jnp.full((sub_q, NUM_LANES), -jnp.inf, jnp.float32),
+            jnp.zeros((sub_q, NUM_LANES), jnp.float32),
+            jnp.zeros((sub_q, head_dim + aug_width), jnp.float32),
+        )
+
+    def qk_dot(qp, col0, w):
+        qc = q_ref[0, 0, qp * sub_q:(qp + 1) * sub_q, :]
+        kc = k_ref[0, 0, col0:col0 + w, :]
+        return jax.lax.dot_general(
+            qc, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    def update(st, s, col0, w, moff):
+        m_prev, l_prev, acc = st
+        if moff is not None:
+            dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
+                    - jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 0))
+            s = jnp.where(dmat <= moff, s, mask_value)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        if aug_width and mm_dtype == jnp.bfloat16.dtype:
+            p = jnp.exp2((s - m_next[:, :1]).astype(jnp.bfloat16))
+        else:
+            p = jnp.exp2(s - m_next[:, :1])
+        l_next = (l_prev if aug_width
+                  else alpha * l_prev + jnp.sum(p, axis=1, keepdims=True))
+        acc = acc * alpha[:, :1] + jax.lax.dot(
+            p.astype(mm_dtype), v_full[col0:col0 + w, :].astype(mm_dtype),
+            preferred_element_type=jnp.float32, precision=prec)
+        return (m_next, l_next, acc)
+
+    # Round-major schedule: within a round every chain's QK^T is issued
+    # before any chain's softmax/PV — the independent dots fill the MXU
+    # while earlier chains run their VPU softmax (the fast_block pattern).
+    for r in range(max_rounds):
+        live = [qp for qp in range(n_chains) if r < len(tiles[qp])]
+        s_parts = {qp: qk_dot(qp, *tiles[qp][r][:2]) for qp in live}
+        for qp in live:
+            col0, w, moff = tiles[qp][r]
+            state[qp] = update(state[qp], s_parts[qp], col0, w, moff)
+
+    for qp in range(n_chains):
+        m, l, acc = state[qp]
+        rows = slice(qp * sub_q, (qp + 1) * sub_q)
+        if aug_width:
+            lcol = acc[:, head_dim:]
+            l_safe = jnp.where(lcol == 0.0, 1.0, lcol)[:, :1]
+            o_ref[0, 0, rows, :] = (acc[:, :head_dim] * (1.0 / l_safe)
+                                    ).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[0, 0, rows, :] = m * LN2 + jnp.log(l_safe)
+        else:
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0, rows, :] = (acc * (1.0 / l_safe[:, :1])
+                                    ).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[0, 0, rows, :] = m * LN2 + jnp.log(l_safe)
+
+
+# Whole-sequence budget for the resident-causal path: the unrolled chain
+# state must stay register/VMEM-resident — N=8192 (16 chains) measured 131 MB
+# of vector-register spill slots and OOMed VMEM; N=4096 (8 chains) fits and
+# runs 148 TFLOP/s equal-work (v5e). Longer sequences use the flat grid,
+# whose per-row overhead amortizes at large N anyway (136 TF at 8192).
+_RESIDENT_CAUSAL_MAX_N = 4096
+# Chain geometry: 512-row chains × 2048-wide kv tiles measured best at
+# N=4096 D=128 on v5e — 163 TFLOP/s equal-work vs 150/148/139 for
+# (512,1024)/(1024,1024)/(512,4096); nearly the non-causal rate (167).
+_RC_SUB_Q = 512
+_RC_SUB_K = 2048
+
+
+def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,
+                         v_scale, static_offsets, Nqp, Nkp, D, sub_q, sub_k):
+    return (
+        causal and window is None and not need_tail_mask
+        and bias is None and k_scale is None and v_scale is None
+        and static_offsets is not None
+        and static_offsets[0] == static_offsets[1]
+        and Nqp == Nkp and Nqp <= _RESIDENT_CAUSAL_MAX_N
+        and Nqp % sub_k == 0 and Nqp % sub_q == 0
+    )
 
 
 @functools.partial(
@@ -439,6 +619,75 @@ def fwd_padded(
     need_tail_mask = kv_valid_len != Nkp
     masking = causal or window is not None or need_tail_mask
     flat = masking and static_offsets is not None
+    # Triangular-diagonal fast path: sound only when every non-full live
+    # pair is exactly diagonal (see tri_block) and the q chunks give
+    # lane-aligned widths.
+    tri_edge = bool(
+        flat and causal and window is None and not need_tail_mask
+        and block_q == block_k
+        and static_offsets[0] == static_offsets[1]
+        and kv_splits == 1 and q_splits >= 2
+        and (block_q // q_splits) % NUM_LANES == 0)
+
+    rc_sub_q, rc_sub_k = min(_RC_SUB_Q, Nqp), min(_RC_SUB_K, Nqp)
+    if _use_resident_causal(
+            causal=causal, window=window, need_tail_mask=need_tail_mask,
+            bias=bias, k_scale=k_scale, v_scale=v_scale,
+            static_offsets=static_offsets, Nqp=Nqp, Nkp=Nkp, D=D,
+            sub_q=rc_sub_q, sub_k=rc_sub_k):
+        n = Nqp
+        kernel = functools.partial(
+            _fwd_causal_resident_kernel,
+            n=n, sub_q=rc_sub_q, sub_k=rc_sub_k, head_dim=D,
+            aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE)
+        out_shapes = [jax.ShapeDtypeStruct((B, Hq, n, D), q.dtype)]
+        out_specs = [pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        if return_lse:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((B, Hq, n, NUM_LANES), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((1, 1, n, NUM_LANES), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM))
+
+        def rc_entry(*refs):
+            qr, kr, vr = refs[0:3]
+            o_r = refs[3]
+            lse_r = refs[4] if return_lse else None
+            kernel(qr, kr, vr, o_r, lse_r)
+
+        live_cells = n * n // 2 + n * rc_sub_q // 2
+        cost = pl.CostEstimate(
+            flops=int(4 * D * live_cells * B * Hq),
+            bytes_accessed=(q.size + k.size + v.size + q.size)
+            * q.dtype.itemsize,
+            transcendentals=int(B * Hq * live_cells),
+        )
+        outs = pl.pallas_call(
+            rc_entry,
+            grid=(B, Hq),
+            in_specs=[
+                pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n, D),
+                             lambda b, h: (b, h // q_hd_ratio, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n, D),
+                             lambda b, h: (b, h // q_hd_ratio, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+        o = outs[0]
+        lse = outs[1][..., 0] if return_lse else None
+        return o, lse
     if flat:
         tab = build_pair_table(
             tq, tk, block_q, block_k, causal=causal, window=window,
@@ -549,6 +798,7 @@ def fwd_padded(
             mask_value=DEFAULT_MASK_VALUE, window=window,
             static_offs=static_offsets, kv_splits=kv_splits,
             q_splits=q_splits, aug_width=aug_width, head_dim=D,
+            tri_edge=tri_edge,
         )
 
     flops_per_prog = 4 * block_q * block_k * D  # QK^T + PV
