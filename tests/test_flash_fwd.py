@@ -124,3 +124,56 @@ def test_validation_errors():
         flash_attention(
             q, k, v, bias=jnp.zeros((1, 2, 64, 32))  # Nk mismatch
         )
+
+def test_fwd_resident_causal_matches_flat_and_oracle():
+    """The VMEM-resident causal path (square causal, zero offsets, no
+    bias/window/quant) must agree with both the oracle and the flat-grid
+    kernel. A zero bias changes nothing numerically but fails the resident
+    gate, forcing the flat grid — the two routes must coincide."""
+    from flashattn_tpu.ops import flash_fwd as ff
+
+    B, H, N, D = 1, 2, 512, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(11), B, H, N, D)
+    assert ff._use_resident_causal(
+        causal=True, window=None, need_tail_mask=False, bias=None,
+        k_scale=None, v_scale=None, static_offsets=(0, 0),
+        Nqp=N, Nkp=N, D=D,
+        sub_q=min(ff._RC_SUB_Q, N), sub_k=min(ff._RC_SUB_K, N))
+    want = attention_reference(q, k, v, causal=True)
+    resident = flash_attention(q, k, v, causal=True)
+    flat = flash_attention(
+        q, k, v, causal=True, bias=jnp.zeros((1, 1, N, N), q.dtype))
+    assert_close(resident, want, FWD_TOL[jnp.float32.dtype], "resident")
+    assert_close(resident, flat, FWD_TOL[jnp.float32.dtype], "resident-vs-flat")
+
+
+def test_fwd_resident_causal_gqa_lse():
+    """Resident path with GQA head mapping and the LSE residual (the bwd
+    contract): both must match the oracle."""
+    q, k, v = make_qkv(jax.random.PRNGKey(12), 1, 4, 256, 64, Hkv=2)
+    _, lse_want = attention_reference_with_lse(q, k, v, causal=True)
+    o, lse = flash_attention_with_lse(q, k, v, causal=True)
+    want = attention_reference(q, k, v, causal=True)
+    assert_close(o, want, FWD_TOL[jnp.float32.dtype])
+    assert_close(lse, lse_want, FWD_TOL[jnp.float32.dtype], "lse")
+
+
+def test_fwd_resident_gate_rejects_nonsquare_and_offsets():
+    """Rectangular KV, tail masks, windows, offsets, or quant scales must
+    fall back to the flat grid (gate soundness, not perf)."""
+    from flashattn_tpu.ops import flash_fwd as ff
+
+    base = dict(causal=True, window=None, need_tail_mask=False, bias=None,
+                k_scale=None, v_scale=None, static_offsets=(0, 0),
+                Nqp=512, Nkp=512, D=64, sub_q=512, sub_k=512)
+    assert ff._use_resident_causal(**base)
+    for bad in (
+        dict(Nkp=1024),                      # rectangular
+        dict(need_tail_mask=True),           # masked tail
+        dict(window=(128, 0)),               # sliding window
+        dict(static_offsets=(64, 0)),        # ring-chunk offsets
+        dict(static_offsets=None),           # traced offsets
+        dict(k_scale=object()),              # quantized KV
+        dict(causal=False),
+    ):
+        assert not ff._use_resident_causal(**{**base, **bad}), bad
