@@ -177,3 +177,18 @@ def test_fwd_resident_gate_rejects_nonsquare_and_offsets():
         dict(causal=False),
     ):
         assert not ff._use_resident_causal(**{**base, **bad}), bad
+
+def test_fwd_flat_tri_diagonal_blocks():
+    """Flat-grid causal with square blocks exercises tri_block (statically
+    narrowed diagonal dots). Bias defeats the resident gate, so this routes
+    to the flat grid; 512-square blocks give kv_splits=1, q_splits=2, which
+    satisfies the tri_edge gate. Must match the oracle bias path."""
+    N = 1024
+    q, k, v = make_qkv(jax.random.PRNGKey(13), 1, 2, N, 64)
+    bias = jax.random.normal(jax.random.PRNGKey(14), (1, 1, N, N)) * 0.5
+    want = attention_reference(q, k, v, causal=True, bias=bias)
+    got = flash_attention(
+        q, k, v, causal=True, bias=bias,
+        block_sizes=BlockSizes(512, 512, 512, 512, 512, 512),
+    )
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
