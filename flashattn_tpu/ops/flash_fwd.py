@@ -399,6 +399,7 @@ def _fwd_causal_resident_kernel(
     head_dim: int,
     aug_width: int,
     mask_value: float,
+    kv_valid_len: int,
 ):
     """Whole-sequence causal forward, one grid step per (batch, head).
 
@@ -427,19 +428,28 @@ def _fwd_causal_resident_kernel(
     n_chains = n // sub_q
 
     def chain_tiles(qp):
-        """Static (col0, width, mask_offset|None) list for chain qp."""
+        """Static (col0, width, mask_offset|None, col_bound|None) per chain.
+
+        ``col_bound`` carries the padded-KV-tail mask: kv_valid_len is a
+        compile-time constant, so only the (at most one per chain) tile that
+        straddles it pays a column mask; tiles entirely past it are never
+        emitted.  Rows past kv_valid_len are host-sliced garbage — with
+        every tile skipped their state stays (m=-inf, l=0) and the l==0
+        epilogue guard stores zeros.
+        """
         row_first, row_last = qp * sub_q, qp * sub_q + sub_q - 1
         tiles = []
         for kp in range(n // sub_k):
             col0 = kp * sub_k
-            if col0 > row_last:
+            if col0 > row_last or col0 >= kv_valid_len:
                 break
+            cb = kv_valid_len - col0 if col0 + sub_k > kv_valid_len else None
             if col0 + sub_k - 1 <= row_first:
-                tiles.append((col0, sub_k, None))          # full tile
+                tiles.append((col0, sub_k, None, cb))          # full tile
             else:
                 w = min(sub_k, row_last + 1 - col0)
                 w = ((w + NUM_LANES - 1) // NUM_LANES) * NUM_LANES
-                tiles.append((col0, w, row_first - col0))  # triangular
+                tiles.append((col0, w, row_first - col0, cb))  # triangular
         return tiles
 
     tiles = [chain_tiles(qp) for qp in range(n_chains)]
@@ -461,12 +471,20 @@ def _fwd_causal_resident_kernel(
             qc, kc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
-    def update(st, s, col0, w, moff):
+    def update(st, s, col0, w, moff, cb):
         m_prev, l_prev, acc = st
-        if moff is not None:
+        if moff is not None and cb is not None:
+            dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
+                    - jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 0))
+            ci = jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
+            s = jnp.where((dmat <= moff) & (ci < cb), s, mask_value)
+        elif moff is not None:
             dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
                     - jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 0))
             s = jnp.where(dmat <= moff, s, mask_value)
+        elif cb is not None:
+            ci = jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
+            s = jnp.where(ci < cb, s, mask_value)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
@@ -488,8 +506,8 @@ def _fwd_causal_resident_kernel(
         live = [qp for qp in range(n_chains) if r < len(tiles[qp])]
         s_parts = {qp: qk_dot(qp, *tiles[qp][r][:2]) for qp in live}
         for qp in live:
-            col0, w, moff = tiles[qp][r]
-            state[qp] = update(state[qp], s_parts[qp], col0, w, moff)
+            col0, w, moff, cb = tiles[qp][r]
+            state[qp] = update(state[qp], s_parts[qp], col0, w, moff, cb)
 
     for qp in range(n_chains):
         m, l, acc = state[qp]
@@ -524,8 +542,11 @@ _RC_SUB_K = 2048
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,
                          v_scale, static_offsets, Nqp, Nkp, D, sub_q, sub_k):
+    # need_tail_mask (padded KV tail) is handled inside the resident kernel:
+    # kv_valid_len is static, so the boundary tile's column mask is baked
+    # into the trace-time tile table.
     return (
-        causal and window is None and not need_tail_mask
+        causal and window is None
         and bias is None and k_scale is None and v_scale is None
         and static_offsets is not None
         and static_offsets[0] == static_offsets[1]
@@ -639,7 +660,8 @@ def fwd_padded(
         kernel = functools.partial(
             _fwd_causal_resident_kernel,
             n=n, sub_q=rc_sub_q, sub_k=rc_sub_k, head_dim=D,
-            aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE)
+            aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE,
+            kv_valid_len=kv_valid_len)
         out_shapes = [jax.ShapeDtypeStruct((B, Hq, n, D), q.dtype)]
         out_specs = [pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
                                   memory_space=pltpu.VMEM)]

@@ -167,9 +167,11 @@ def test_fwd_resident_gate_rejects_nonsquare_and_offsets():
                 k_scale=None, v_scale=None, static_offsets=(0, 0),
                 Nqp=512, Nkp=512, D=64, sub_q=512, sub_k=512)
     assert ff._use_resident_causal(**base)
+    # A padded KV tail no longer defeats the gate: kv_valid_len is static,
+    # so the boundary mask folds into the trace-time tile table.
+    assert ff._use_resident_causal(**{**base, "need_tail_mask": True})
     for bad in (
         dict(Nkp=1024),                      # rectangular
-        dict(need_tail_mask=True),           # masked tail
         dict(window=(128, 0)),               # sliding window
         dict(static_offsets=(64, 0)),        # ring-chunk offsets
         dict(static_offsets=None),           # traced offsets
@@ -177,6 +179,28 @@ def test_fwd_resident_gate_rejects_nonsquare_and_offsets():
         dict(causal=False),
     ):
         assert not ff._use_resident_causal(**{**base, **bad}), bad
+
+
+def test_fwd_resident_causal_padded_tail():
+    """Unaligned-N causal self-attention routes through the resident kernel
+    with a static boundary-tile column mask; Nkv < Nq (both padding to the
+    same Nkp) exercises valid Q rows attending across the KV boundary."""
+    from flashattn_tpu.ops import flash_fwd as ff
+
+    assert ff._use_resident_causal(
+        causal=True, window=None, need_tail_mask=True, bias=None,
+        k_scale=None, v_scale=None, static_offsets=(0, 0),
+        Nqp=512, Nkp=512, D=64, sub_q=512, sub_k=512)
+    # Self-attention, N not a block multiple (pads 500 -> 512).
+    q, k, v = make_qkv(jax.random.PRNGKey(21), 1, 2, 500, 64)
+    want = attention_reference(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype], "tail-self")
+    # Cross-length causal: Nkv=300 < Nq=500, same padded length.
+    q2, k2, v2 = make_qkv(jax.random.PRNGKey(22), 1, 2, 500, 64, Nk=300)
+    want2 = attention_reference(q2, k2, v2, causal=True)
+    got2 = flash_attention(q2, k2, v2, causal=True)
+    assert_close(got2, want2, FWD_TOL[jnp.float32.dtype], "tail-cross")
 
 def test_fwd_flat_tri_diagonal_blocks():
     """Flat-grid causal with square blocks exercises tri_block (statically
