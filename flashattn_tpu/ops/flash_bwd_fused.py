@@ -271,6 +271,173 @@ def _bwd_fused_kernel(
         dq_ref[0, 0] = (dq_acc[rows, :] * scale).astype(dq_ref.dtype)
 
 
+def _bwd_causal_resident_kernel(
+    q2_ref,     # VMEM (1, 1, N, D) — q pre-scaled by scale·log2e
+    k_ref,      # VMEM (1, 1, N, D)
+    v_ref,      # VMEM (1, 1, N, D)
+    do_ref,     # VMEM (1, 1, N, D)
+    lse2_ref,   # VMEM (1, 1, N, NUM_LANES) — lse·log2e
+    delta_ref,  # VMEM (1, 1, N, NUM_LANES)
+    dq_ref,     # VMEM (1, 1, N, D)
+    dk_ref,     # VMEM (1, 1, N, D)
+    dv_ref,     # VMEM (1, 1, N, D)
+    *,
+    n: int,
+    sub: int,
+    tri_sub: int,
+    head_dim: int,
+    kv_valid_len: int,
+    mask_value: float,
+    scale: float,
+):
+    """Whole-sequence causal fused backward, one grid step per (batch, head).
+
+    Same rationale as the forward's resident kernel (flash_fwd.py): the flat
+    grid pays a per-step pipeline bubble; here the entire causal pair
+    structure is static (skips below the diagonal cost nothing, diagonal
+    pairs issue statically-narrowed dots), the padded-KV-tail bound is baked
+    into the trace-time pair list, and every accumulator (whole-tile f32
+    dQ/dK/dV) is plain dataflow — no scratch round-trips, no predication.
+    Pairs are software-pipelined: the next pair's two leading dots (S=Q·K^T,
+    dP=dO·V^T) are issued before the current pair's VPU softmax and three
+    trailing dots, keeping the MXU busy through the elementwise work.
+    Role-parity: the reference's single-kernel backward loop
+    (kernel_fp16.cu:644-739) without its dQ race (quirk 2).
+    """
+    prec = (jax.lax.Precision.HIGHEST
+            if q2_ref.dtype == jnp.float32 else None)
+    mmd = q2_ref.dtype
+    tq = n // sub
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    # Static pair list, kv-major (j outer); each entry: (j, i, diag, cb)
+    # where cb is the padded-tail column bound local to tile j (or None).
+    pairs = []
+    for j in range(tq):
+        col0 = j * sub
+        if col0 >= kv_valid_len:
+            break
+        cb = kv_valid_len - col0 if col0 + sub > kv_valid_len else None
+        for i in range(j, tq):
+            pairs.append((j, i, i == j, cb))
+
+    n_chunks = sub // tri_sub if (sub % tri_sub == 0
+                                  and tri_sub % NUM_LANES == 0) else 1
+    eff_tri = tri_sub if n_chunks > 1 else sub
+
+    def lead(pair):
+        """Pre-issued MXU dots for a pair: [(s2, dp, rsl, w)] per chunk."""
+        j, i, diag, cb = pair
+        csl = slice(j * sub, j * sub + sub)
+        k = k_ref[0, 0, csl, :]
+        v = v_ref[0, 0, csl, :]
+        out = []
+        chunks = range(n_chunks) if diag else (None,)
+        for qp in chunks:
+            if diag:
+                rsl = slice(i * sub + qp * eff_tri,
+                            i * sub + (qp + 1) * eff_tri)
+                w = (qp + 1) * eff_tri
+            else:
+                rsl = slice(i * sub, (i + 1) * sub)
+                w = sub
+            q2c = q2_ref[0, 0, rsl, :]
+            doc = do_ref[0, 0, rsl, :]
+            s2 = dot(q2c, k[:w], (((1,), (1,))))
+            dp = dot(doc, v[:w], (((1,), (1,))))
+            out.append((s2, dp, rsl, w))
+        return out
+
+    def add_rows(acc, r0, contrib):
+        """acc[r0:r0+rows] += contrib as pure dataflow (static slices)."""
+        rows = contrib.shape[0]
+        if r0 == 0 and rows == acc.shape[0]:
+            return acc + contrib
+        parts = []
+        if r0 > 0:
+            parts.append(acc[:r0])
+        parts.append(acc[r0:r0 + rows] + contrib)
+        if r0 + rows < acc.shape[0]:
+            parts.append(acc[r0 + rows:])
+        return jnp.concatenate(parts, axis=0)
+
+    def body(pair, leads, dq_i, dk_j, dv_j):
+        j, i, diag, cb = pair
+        csl = slice(j * sub, j * sub + sub)
+        k = k_ref[0, 0, csl, :]
+        for ci, (s2, dp, rsl, w) in enumerate(leads):
+            rows = s2.shape[0]
+            mask = None
+            if diag:
+                dmat = (jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+                        - jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0))
+                mask = dmat <= ci * eff_tri
+            if cb is not None and (not diag or w > cb):
+                ci_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+                tmask = ci_iota < cb
+                mask = tmask if mask is None else mask & tmask
+            if mask is not None:
+                s2 = jnp.where(mask, s2, mask_value)
+            p = jnp.exp2(s2 - lse2_ref[0, 0, rsl, :1])
+            doc = do_ref[0, 0, rsl, :]
+            # dV += P^T·dO ; dS = P⊙(dP−Δ) ; dK += dS^T·Q ; dQ += dS·K
+            dv_j = add_rows(dv_j, 0, dot(p.astype(mmd), doc, ((0,), (0,))))
+            ds = (p * (dp - delta_ref[0, 0, rsl, :1])).astype(mmd)
+            dk_j = add_rows(dk_j, 0,
+                            dot(ds, q2_ref[0, 0, rsl, :], ((0,), (0,))))
+            dq_i = add_rows(dq_i, rsl.start - i * sub,
+                            dot(ds, k[:w], ((1,), (0,))))
+        return dq_i, dk_j, dv_j
+
+    dq_acc = {i: jnp.zeros((sub, head_dim), jnp.float32) for i in range(tq)}
+    dkv_acc = {}
+
+    leads = lead(pairs[0])
+    for p, pr in enumerate(pairs):
+        cur = leads
+        leads = lead(pairs[p + 1]) if p + 1 < len(pairs) else None
+        j, i = pr[0], pr[1]
+        if j not in dkv_acc:
+            dkv_acc[j] = (jnp.zeros((sub, head_dim), jnp.float32),
+                          jnp.zeros((sub, head_dim), jnp.float32))
+        dk_j, dv_j = dkv_acc[j]
+        dq_acc[i], dk_j, dv_j = body(pr, cur, dq_acc[i], dk_j, dv_j)
+        dkv_acc[j] = (dk_j, dv_j)
+
+    for i in range(tq):
+        rsl = slice(i * sub, (i + 1) * sub)
+        dq_ref[0, 0, rsl, :] = (dq_acc[i] * scale).astype(dq_ref.dtype)
+        if i in dkv_acc:
+            dk_j, dv_j = dkv_acc[i]
+            dk_ref[0, 0, rsl, :] = (dk_j * LN2).astype(dk_ref.dtype)
+            dv_ref[0, 0, rsl, :] = dv_j.astype(dv_ref.dtype)
+        else:  # kv tile entirely past kv_valid_len
+            dk_ref[0, 0, rsl, :] = jnp.zeros((sub, head_dim), dk_ref.dtype)
+            dv_ref[0, 0, rsl, :] = jnp.zeros((sub, head_dim), dv_ref.dtype)
+
+
+# Same budget rationale as the forward's resident path: the unrolled
+# dataflow accumulators must stay VMEM/register-resident, and the pair
+# count grows as (N/sub)². N=4096 (10 pairs at sub=1024) fits.
+_RESIDENT_BWD_MAX_N = 4096
+_RB_SUB = 1024
+_RB_TRI_SUB = 256
+
+
+def _use_resident_bwd(*, causal, window, static_offsets, Nqp, Nkp, sub):
+    return (
+        causal and window is None
+        and static_offsets is not None
+        and static_offsets[0] == static_offsets[1]
+        and Nqp == Nkp and Nqp <= _RESIDENT_BWD_MAX_N
+        and Nqp % sub == 0
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
@@ -293,6 +460,48 @@ def bwd_fused_padded(
 
     # Fold scale·log2e into q; lse → log2 domain to match (passed below).
     q2 = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+
+    rb_sub = min(_RB_SUB, Nqp)
+    if _use_resident_bwd(causal=causal, window=window,
+                         static_offsets=static_offsets, Nqp=Nqp, Nkp=Nkp,
+                         sub=rb_sub):
+        kernel = functools.partial(
+            _bwd_causal_resident_kernel,
+            n=Nqp, sub=rb_sub, tri_sub=max(NUM_LANES, rb_sub // 4),
+            head_dim=D, kv_valid_len=kv_valid_len,
+            mask_value=DEFAULT_MASK_VALUE, scale=scale)
+        seq_spec = pl.BlockSpec((1, 1, Nqp, D), lambda b, h: (b, h, 0, 0),
+                                memory_space=pltpu.VMEM)
+        lane_spec = pl.BlockSpec((1, 1, Nqp, NUM_LANES),
+                                 lambda b, h: (b, h, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        live_pairs = sum(
+            1 for j in range(Nqp // rb_sub)
+            for i in range(j, Nqp // rb_sub)
+            if j * rb_sub < kv_valid_len)
+        cost = pl.CostEstimate(
+            flops=int(10 * rb_sub * rb_sub * D * B * H * live_pairs),
+            bytes_accessed=(q.size * 3 + k.size * 4) * q.dtype.itemsize,
+            transcendentals=int(B * H * rb_sub * rb_sub * live_pairs),
+        )
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            grid=(B, H),
+            in_specs=[seq_spec] * 4 + [lane_spec] * 2,
+            out_specs=[seq_spec] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Nqp, D), q.dtype),
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q2, k, v, do, lse_rep * LOG2E, delta_rep)
+        return dq, dk, dv
 
     tab = build_bwd_pair_table(
         tq, tk, block_q, block_k, causal=causal, window=window,

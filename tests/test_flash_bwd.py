@@ -85,3 +85,37 @@ def test_bwd_adversarial_reference_shape():
     )
     for name, a, b in zip(("dq", "dk", "dv"), got, want):
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+
+
+def test_bwd_resident_causal_route_and_tail():
+    """Square causal backward at N ≤ 4096 with compile-time offsets routes
+    through the whole-sequence resident fused kernel (flash_bwd_fused.
+    _bwd_causal_resident_kernel); unaligned N exercises its static
+    padded-tail column bound. Both must match oracle grads."""
+    from unittest import mock
+
+    from flashattn_tpu.ops import flash_bwd_fused as fb
+
+    calls = []
+    orig = fb._bwd_causal_resident_kernel
+
+    def spy(*a, **k):
+        calls.append((k["n"], k["kv_valid_len"]))
+        return orig(*a, **k)
+
+    for N in (512, 500):
+        q, k, v = make_qkv(jax.random.PRNGKey(40 + N), 1, 2, N, 64)
+        calls.clear()
+        with mock.patch.object(
+                fb, "_bwd_causal_resident_kernel",
+                mock.Mock(side_effect=spy, __name__="rb")):
+            got = _grads(
+                lambda q, k, v: flash_attention(q, k, v, causal=True),
+                q, k, v)
+        assert calls, f"resident bwd not routed at N={N}"
+        assert calls[0][1] == N  # kv_valid_len reaches the static table
+        want = _grads(
+            lambda q, k, v: attention_reference(q, k, v, causal=True),
+            q, k, v)
+        for name, a, b in zip(("dq", "dk", "dv"), got, want):
+            assert_close(a, b, BWD_TOL[jnp.float32.dtype], f"{name}@N={N}")
