@@ -400,6 +400,8 @@ def _fwd_causal_resident_kernel(
     aug_width: int,
     mask_value: float,
     kv_valid_len: int,
+    causal: bool = True,
+    window: tuple[int, int] | None = None,
 ):
     """Whole-sequence causal forward, one grid step per (batch, head).
 
@@ -427,29 +429,56 @@ def _fwd_causal_resident_kernel(
 
     n_chains = n // sub_q
 
-    def chain_tiles(qp):
-        """Static (col0, width, mask_offset|None, col_bound|None) per chain.
+    wl, wr = window if window is not None else (-1, -1)
 
-        ``col_bound`` carries the padded-KV-tail mask: kv_valid_len is a
-        compile-time constant, so only the (at most one per chain) tile that
-        straddles it pays a column mask; tiles entirely past it are never
-        emitted.  Rows past kv_valid_len are host-sliced garbage — with
-        every tile skipped their state stays (m=-inf, l=0) and the l==0
-        epilogue guard stores zeros.
+    def chain_tiles(qp):
+        """Static (col0, width, up|None, lo|None, col_bound|None) per chain.
+
+        The whole band geometry is compile-time: tiles outside the
+        causal/window band or past kv_valid_len are never emitted;
+        band-straddling tiles are narrowed to lane-aligned width from both
+        ends and carry only the mask offsets they actually violate
+        (``up``: dmat <= up for causal / right edge; ``lo``: dmat >= lo for
+        the sliding-window left edge; ``col_bound``: padded-KV tail).
+        Rows with every tile dead keep (m=-inf, l=0) and the l==0 epilogue
+        guard stores zeros (matches the flat grid's dead-tile convention).
         """
-        row_first, row_last = qp * sub_q, qp * sub_q + sub_q - 1
+        rf, rl = qp * sub_q, qp * sub_q + sub_q - 1
         tiles = []
         for kp in range(n // sub_k):
-            col0 = kp * sub_k
-            if col0 > row_last or col0 >= kv_valid_len:
+            c0, c1 = kp * sub_k, kp * sub_k + sub_k - 1
+            if c0 >= kv_valid_len:
                 break
-            cb = kv_valid_len - col0 if col0 + sub_k > kv_valid_len else None
-            if col0 + sub_k - 1 <= row_first:
-                tiles.append((col0, sub_k, None, cb))          # full tile
-            else:
-                w = min(sub_k, row_last + 1 - col0)
-                w = ((w + NUM_LANES - 1) // NUM_LANES) * NUM_LANES
-                tiles.append((col0, w, row_first - col0, cb))  # triangular
+            if causal and c0 > rl:
+                break
+            if not causal and wr >= 0 and c0 > rl + wr:
+                break
+            if wl >= 0 and c1 < rf - wl:
+                continue  # entirely left of the window band
+            # Narrow from both ends to lane-aligned bounds.
+            lo_cols = 0
+            if wl >= 0 and c0 < rf - wl:
+                lo_cols = ((rf - wl) - c0) // NUM_LANES * NUM_LANES
+            hi_cols = sub_k
+            if causal and c1 > rl:
+                hi_cols = -((rl + 1 - c0) // -NUM_LANES) * NUM_LANES
+            elif wr >= 0 and c1 > rl + wr:
+                hi_cols = -((rl + wr + 1 - c0) // -NUM_LANES) * NUM_LANES
+            c0e = c0 + lo_cols
+            w = hi_cols - lo_cols
+            if w <= 0:
+                continue
+            c1e = c0e + w - 1
+            up = None
+            if causal and c1e > rf:
+                up = rf - c0e
+            elif not causal and wr >= 0 and c1e > rf + wr:
+                up = rf - c0e + wr
+            lo = None
+            if wl >= 0 and c0e < rl - wl:
+                lo = rf - c0e - wl
+            cb = kv_valid_len - c0e if c1e >= kv_valid_len else None
+            tiles.append((c0e, w, up, lo, cb))
         return tiles
 
     tiles = [chain_tiles(qp) for qp in range(n_chains)]
@@ -471,20 +500,23 @@ def _fwd_causal_resident_kernel(
             qc, kc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
-    def update(st, s, col0, w, moff, cb):
+    def update(st, s, col0, w, up, lo, cb):
         m_prev, l_prev, acc = st
-        if moff is not None and cb is not None:
+        mask = None
+        if up is not None or lo is not None:
             dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
                     - jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 0))
+            if up is not None:
+                mask = dmat <= up
+            if lo is not None:
+                lom = dmat >= lo
+                mask = lom if mask is None else mask & lom
+        if cb is not None:
             ci = jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
-            s = jnp.where((dmat <= moff) & (ci < cb), s, mask_value)
-        elif moff is not None:
-            dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
-                    - jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 0))
-            s = jnp.where(dmat <= moff, s, mask_value)
-        elif cb is not None:
-            ci = jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
-            s = jnp.where(ci < cb, s, mask_value)
+            cbm = ci < cb
+            mask = cbm if mask is None else mask & cbm
+        if mask is not None:
+            s = jnp.where(mask, s, mask_value)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
@@ -506,8 +538,8 @@ def _fwd_causal_resident_kernel(
         live = [qp for qp in range(n_chains) if r < len(tiles[qp])]
         s_parts = {qp: qk_dot(qp, *tiles[qp][r][:2]) for qp in live}
         for qp in live:
-            col0, w, moff, cb = tiles[qp][r]
-            state[qp] = update(state[qp], s_parts[qp], col0, w, moff, cb)
+            col0, w, up, lo, cb = tiles[qp][r]
+            state[qp] = update(state[qp], s_parts[qp], col0, w, up, lo, cb)
 
     for qp in range(n_chains):
         m, l, acc = state[qp]
@@ -542,11 +574,13 @@ _RC_SUB_K = 2048
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,
                          v_scale, static_offsets, Nqp, Nkp, D, sub_q, sub_k):
-    # need_tail_mask (padded KV tail) is handled inside the resident kernel:
-    # kv_valid_len is static, so the boundary tile's column mask is baked
-    # into the trace-time tile table.
+    # Any static band qualifies: causal, causal+sliding-window, or pure
+    # local window — the band geometry and the padded-KV-tail bound
+    # (kv_valid_len is static) are baked into the trace-time tile table.
+    banded = causal or (
+        window is not None and (window[0] >= 0 or window[1] >= 0))
     return (
-        causal and window is None
+        banded
         and bias is None and k_scale is None and v_scale is None
         and static_offsets is not None
         and static_offsets[0] == static_offsets[1]
@@ -661,7 +695,7 @@ def fwd_padded(
             _fwd_causal_resident_kernel,
             n=n, sub_q=rc_sub_q, sub_k=rc_sub_k, head_dim=D,
             aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE,
-            kv_valid_len=kv_valid_len)
+            kv_valid_len=kv_valid_len, causal=causal, window=window)
         out_shapes = [jax.ShapeDtypeStruct((B, Hq, n, D), q.dtype)]
         out_specs = [pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -678,7 +712,12 @@ def fwd_padded(
             lse_r = refs[4] if return_lse else None
             kernel(qr, kr, vr, o_r, lse_r)
 
-        live_cells = n * n // 2 + n * rc_sub_q // 2
+        if window is not None:
+            band = (max(0, window[0]) + max(0, window[1])
+                    + rc_sub_k)  # narrowed tile granularity
+            live_cells = n * min(n, band)
+        else:
+            live_cells = n * n // 2 + n * rc_sub_q // 2
         cost = pl.CostEstimate(
             flops=int(4 * D * live_cells * B * Hq),
             bytes_accessed=(q.size + k.size + v.size + q.size)

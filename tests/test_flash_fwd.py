@@ -168,15 +168,19 @@ def test_fwd_resident_gate_rejects_nonsquare_and_offsets():
                 Nqp=512, Nkp=512, D=64, sub_q=512, sub_k=512)
     assert ff._use_resident_causal(**base)
     # A padded KV tail no longer defeats the gate: kv_valid_len is static,
-    # so the boundary mask folds into the trace-time tile table.
+    # so the boundary mask folds into the trace-time tile table. Same for
+    # sliding windows (any static band).
     assert ff._use_resident_causal(**{**base, "need_tail_mask": True})
+    assert ff._use_resident_causal(**{**base, "window": (128, 0)})
+    assert ff._use_resident_causal(
+        **{**base, "causal": False, "window": (128, 128)})
     for bad in (
         dict(Nkp=1024),                      # rectangular
-        dict(window=(128, 0)),               # sliding window
         dict(static_offsets=(64, 0)),        # ring-chunk offsets
         dict(static_offsets=None),           # traced offsets
         dict(k_scale=object()),              # quantized KV
-        dict(causal=False),
+        dict(causal=False),                  # no masking at all
+        dict(causal=False, window=(-1, -1)),  # unbounded "window"
     ):
         assert not ff._use_resident_causal(**{**base, **bad}), bad
 
