@@ -30,7 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flashattn_tpu.ops.flash_fwd import LN2, LOG2E, _range_predicates
+from flashattn_tpu.ops.flash_fwd import (LN2, LOG2E, _range_predicates,
+                                         band_chunk)
 from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
 from flashattn_tpu.utils import platform
 
@@ -289,6 +290,8 @@ def _bwd_causal_resident_kernel(
     kv_valid_len: int,
     mask_value: float,
     scale: float,
+    causal: bool = True,
+    window: tuple[int, int] | None = None,
 ):
     """Whole-sequence causal fused backward, one grid step per (batch, head).
 
@@ -308,48 +311,56 @@ def _bwd_causal_resident_kernel(
             if q2_ref.dtype == jnp.float32 else None)
     mmd = q2_ref.dtype
     tq = n // sub
+    wl, wr = window if window is not None else (-1, -1)
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
             a, b, dimension_numbers=(dims, ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
-    # Static pair list, kv-major (j outer); each entry: (j, i, diag, cb)
-    # where cb is the padded-tail column bound local to tile j (or None).
-    pairs = []
-    for j in range(tq):
-        col0 = j * sub
-        if col0 >= kv_valid_len:
-            break
-        cb = kv_valid_len - col0 if col0 + sub > kv_valid_len else None
-        for i in range(j, tq):
-            pairs.append((j, i, i == j, cb))
-
     n_chunks = sub // tri_sub if (sub % tri_sub == 0
                                   and tri_sub % NUM_LANES == 0) else 1
     eff_tri = tri_sub if n_chunks > 1 else sub
 
-    def lead(pair):
-        """Pre-issued MXU dots for a pair: [(s2, dp, rsl, w)] per chunk."""
-        j, i, diag, cb = pair
-        csl = slice(j * sub, j * sub + sub)
-        k = k_ref[0, 0, csl, :]
-        v = v_ref[0, 0, csl, :]
-        out = []
-        chunks = range(n_chunks) if diag else (None,)
-        for qp in chunks:
-            if diag:
-                rsl = slice(i * sub + qp * eff_tri,
-                            i * sub + (qp + 1) * eff_tri)
-                w = (qp + 1) * eff_tri
+    # Static pair list, kv-major (j outer). Each pair carries its chunk
+    # list: [(rsl, c0e, w, up, lo, cb)] — band-straddling pairs split their
+    # q rows so every chunk's dots narrow to the live lane-aligned columns
+    # (band_chunk); full pairs keep one whole-tile chunk.
+    pairs = []
+    for j in range(tq):
+        for i in range(tq):
+            rf, rl = i * sub, (i + 1) * sub - 1
+            whole = band_chunk(rf, rl, j * sub, sub, causal=causal,
+                               wl=wl, wr=wr, kv_valid_len=kv_valid_len)
+            if whole is None:
+                continue
+            boundary = whole[2] is not None or whole[3] is not None
+            if boundary and n_chunks > 1:
+                chunks = []
+                for qp in range(n_chunks):
+                    crf = i * sub + qp * eff_tri
+                    crl = crf + eff_tri - 1
+                    t = band_chunk(crf, crl, j * sub, sub, causal=causal,
+                                   wl=wl, wr=wr, kv_valid_len=kv_valid_len)
+                    if t is not None:
+                        chunks.append((slice(crf, crl + 1),) + t)
             else:
-                rsl = slice(i * sub, (i + 1) * sub)
-                w = sub
+                chunks = [(slice(rf, rl + 1),) + whole]
+            pairs.append((j, i, chunks))
+
+    def lead(pair):
+        """Pre-issued MXU dots for a pair: [(s2, dp, rsl, chunk)] each."""
+        j, i, chunks = pair
+        out = []
+        for ch in chunks:
+            rsl, c0e, w = ch[0], ch[1], ch[2]
             q2c = q2_ref[0, 0, rsl, :]
             doc = do_ref[0, 0, rsl, :]
-            s2 = dot(q2c, k[:w], (((1,), (1,))))
-            dp = dot(doc, v[:w], (((1,), (1,))))
-            out.append((s2, dp, rsl, w))
+            kc = k_ref[0, 0, c0e:c0e + w, :]
+            vc = v_ref[0, 0, c0e:c0e + w, :]
+            s2 = dot(q2c, kc, (((1,), (1,))))
+            dp = dot(doc, vc, (((1,), (1,))))
+            out.append((s2, dp, ch))
         return out
 
     def add_rows(acc, r0, contrib):
@@ -366,37 +377,43 @@ def _bwd_causal_resident_kernel(
         return jnp.concatenate(parts, axis=0)
 
     def body(pair, leads, dq_i, dk_j, dv_j):
-        j, i, diag, cb = pair
-        csl = slice(j * sub, j * sub + sub)
-        k = k_ref[0, 0, csl, :]
-        for ci, (s2, dp, rsl, w) in enumerate(leads):
+        j, i, chunks = pair
+        for s2, dp, ch in leads:
+            rsl, c0e, w, up, lo, cb = ch
             rows = s2.shape[0]
             mask = None
-            if diag:
+            if up is not None or lo is not None:
                 dmat = (jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
                         - jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0))
-                mask = dmat <= ci * eff_tri
-            if cb is not None and (not diag or w > cb):
+                if up is not None:
+                    mask = dmat <= up
+                if lo is not None:
+                    lom = dmat >= lo
+                    mask = lom if mask is None else mask & lom
+            if cb is not None:
                 ci_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-                tmask = ci_iota < cb
-                mask = tmask if mask is None else mask & tmask
+                cbm = ci_iota < cb
+                mask = cbm if mask is None else mask & cbm
             if mask is not None:
                 s2 = jnp.where(mask, s2, mask_value)
             p = jnp.exp2(s2 - lse2_ref[0, 0, rsl, :1])
             doc = do_ref[0, 0, rsl, :]
+            col0 = c0e - j * sub
             # dV += P^T·dO ; dS = P⊙(dP−Δ) ; dK += dS^T·Q ; dQ += dS·K
-            dv_j = add_rows(dv_j, 0, dot(p.astype(mmd), doc, ((0,), (0,))))
+            dv_j = add_rows(dv_j, col0,
+                            dot(p.astype(mmd), doc, ((0,), (0,))))
             ds = (p * (dp - delta_ref[0, 0, rsl, :1])).astype(mmd)
-            dk_j = add_rows(dk_j, 0,
+            dk_j = add_rows(dk_j, col0,
                             dot(ds, q2_ref[0, 0, rsl, :], ((0,), (0,))))
             dq_i = add_rows(dq_i, rsl.start - i * sub,
-                            dot(ds, k[:w], ((1,), (0,))))
+                            dot(ds, k_ref[0, 0, c0e:c0e + w, :],
+                                ((1,), (0,))))
         return dq_i, dk_j, dv_j
 
     dq_acc = {i: jnp.zeros((sub, head_dim), jnp.float32) for i in range(tq)}
     dkv_acc = {}
 
-    leads = lead(pairs[0])
+    leads = lead(pairs[0]) if pairs else None
     for p, pr in enumerate(pairs):
         cur = leads
         leads = lead(pairs[p + 1]) if p + 1 < len(pairs) else None
@@ -429,8 +446,10 @@ _RB_TRI_SUB = 256
 
 
 def _use_resident_bwd(*, causal, window, static_offsets, Nqp, Nkp, sub):
+    banded = causal or (
+        window is not None and (window[0] >= 0 or window[1] >= 0))
     return (
-        causal and window is None
+        banded
         and static_offsets is not None
         and static_offsets[0] == static_offsets[1]
         and Nqp == Nkp and Nqp <= _RESIDENT_BWD_MAX_N
@@ -469,16 +488,20 @@ def bwd_fused_padded(
             _bwd_causal_resident_kernel,
             n=Nqp, sub=rb_sub, tri_sub=max(NUM_LANES, rb_sub // 4),
             head_dim=D, kv_valid_len=kv_valid_len,
-            mask_value=DEFAULT_MASK_VALUE, scale=scale)
+            mask_value=DEFAULT_MASK_VALUE, scale=scale,
+            causal=causal, window=window)
         seq_spec = pl.BlockSpec((1, 1, Nqp, D), lambda b, h: (b, h, 0, 0),
                                 memory_space=pltpu.VMEM)
         lane_spec = pl.BlockSpec((1, 1, Nqp, NUM_LANES),
                                  lambda b, h: (b, h, 0, 0),
                                  memory_space=pltpu.VMEM)
+        _wl, _wr = window if window is not None else (-1, -1)
         live_pairs = sum(
             1 for j in range(Nqp // rb_sub)
-            for i in range(j, Nqp // rb_sub)
-            if j * rb_sub < kv_valid_len)
+            for i in range(Nqp // rb_sub)
+            if band_chunk(i * rb_sub, (i + 1) * rb_sub - 1,
+                          j * rb_sub, rb_sub, causal=causal, wl=_wl,
+                          wr=_wr, kv_valid_len=kv_valid_len) is not None)
         cost = pl.CostEstimate(
             flops=int(10 * rb_sub * rb_sub * D * B * H * live_pairs),
             bytes_accessed=(q.size * 3 + k.size * 4) * q.dtype.itemsize,

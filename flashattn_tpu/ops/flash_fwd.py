@@ -386,6 +386,50 @@ def _fwd_kernel(
                 lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
 
 
+def band_chunk(rf, rl, c0, width, *, causal, wl, wr, kv_valid_len):
+    """Trace-time band geometry for one (row-range, col-tile) cell.
+
+    For rows ``[rf, rl]`` and the KV columns ``[c0, c0+width)``, returns
+    ``(c0e, w, up, lo, cb)`` — the lane-aligned narrowed column range plus
+    the mask offsets the narrowed tile still violates (``up``: dmat <= up
+    causal/right edge, ``lo``: dmat >= lo window left edge, ``cb``: local
+    padded-KV-tail bound) — or ``None`` if the cell is entirely dead.
+    Shared by the resident forward and fused backward kernels.
+    """
+    c1 = c0 + width - 1
+    if c0 >= kv_valid_len:
+        return None
+    if causal and c0 > rl:
+        return None
+    if not causal and wr >= 0 and c0 > rl + wr:
+        return None
+    if wl >= 0 and c1 < rf - wl:
+        return None
+    lo_cols = 0
+    if wl >= 0 and c0 < rf - wl:
+        lo_cols = ((rf - wl) - c0) // NUM_LANES * NUM_LANES
+    hi_cols = width
+    if causal and c1 > rl:
+        hi_cols = -((rl + 1 - c0) // -NUM_LANES) * NUM_LANES
+    elif wr >= 0 and c1 > rl + wr:
+        hi_cols = -((rl + wr + 1 - c0) // -NUM_LANES) * NUM_LANES
+    c0e = c0 + lo_cols
+    w = hi_cols - lo_cols
+    if w <= 0:
+        return None
+    c1e = c0e + w - 1
+    up = None
+    if causal and c1e > rf:
+        up = rf - c0e
+    elif not causal and wr >= 0 and c1e > rf + wr:
+        up = rf - c0e + wr
+    lo = None
+    if wl >= 0 and c0e < rl - wl:
+        lo = rf - c0e - wl
+    cb = kv_valid_len - c0e if c1e >= kv_valid_len else None
+    return (c0e, w, up, lo, cb)
+
+
 def _fwd_causal_resident_kernel(
     q_ref,     # VMEM (1, 1, N, D) — whole (padded) sequence resident
     k_ref,     # VMEM (1, 1, N, D)
@@ -446,39 +490,14 @@ def _fwd_causal_resident_kernel(
         rf, rl = qp * sub_q, qp * sub_q + sub_q - 1
         tiles = []
         for kp in range(n // sub_k):
-            c0, c1 = kp * sub_k, kp * sub_k + sub_k - 1
-            if c0 >= kv_valid_len:
-                break
-            if causal and c0 > rl:
-                break
-            if not causal and wr >= 0 and c0 > rl + wr:
-                break
-            if wl >= 0 and c1 < rf - wl:
-                continue  # entirely left of the window band
-            # Narrow from both ends to lane-aligned bounds.
-            lo_cols = 0
-            if wl >= 0 and c0 < rf - wl:
-                lo_cols = ((rf - wl) - c0) // NUM_LANES * NUM_LANES
-            hi_cols = sub_k
-            if causal and c1 > rl:
-                hi_cols = -((rl + 1 - c0) // -NUM_LANES) * NUM_LANES
-            elif wr >= 0 and c1 > rl + wr:
-                hi_cols = -((rl + wr + 1 - c0) // -NUM_LANES) * NUM_LANES
-            c0e = c0 + lo_cols
-            w = hi_cols - lo_cols
-            if w <= 0:
-                continue
-            c1e = c0e + w - 1
-            up = None
-            if causal and c1e > rf:
-                up = rf - c0e
-            elif not causal and wr >= 0 and c1e > rf + wr:
-                up = rf - c0e + wr
-            lo = None
-            if wl >= 0 and c0e < rl - wl:
-                lo = rf - c0e - wl
-            cb = kv_valid_len - c0e if c1e >= kv_valid_len else None
-            tiles.append((c0e, w, up, lo, cb))
+            c0 = kp * sub_k
+            if c0 >= kv_valid_len or (causal and c0 > rl) or (
+                    not causal and wr >= 0 and c0 > rl + wr):
+                break  # past the band's right edge / valid KV
+            t = band_chunk(rf, rl, c0, sub_k, causal=causal, wl=wl, wr=wr,
+                           kv_valid_len=kv_valid_len)
+            if t is not None:
+                tiles.append(t)
         return tiles
 
     tiles = [chain_tiles(qp) for qp in range(n_chains)]

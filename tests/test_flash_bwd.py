@@ -119,3 +119,16 @@ def test_bwd_resident_causal_route_and_tail():
             q, k, v)
         for name, a, b in zip(("dq", "dk", "dv"), got, want):
             assert_close(a, b, BWD_TOL[jnp.float32.dtype], f"{name}@N={N}")
+
+
+def test_bwd_resident_banded_windows():
+    """The resident fused backward also serves static sliding-window bands
+    (causal+window and pure local window) — grads must match the oracle."""
+    q, k, v = make_qkv(jax.random.PRNGKey(60), 1, 2, 384, 64)
+    for kw in (dict(causal=True, window=(96, 0)),
+               dict(causal=False, window=(64, 32))):
+        got = _grads(lambda q, k, v: flash_attention(q, k, v, **kw), q, k, v)
+        want = _grads(
+            lambda q, k, v: attention_reference(q, k, v, **kw), q, k, v)
+        for name, a, b in zip(("dq", "dk", "dv"), got, want):
+            assert_close(a, b, BWD_TOL[jnp.float32.dtype], f"{name}@{kw}")
