@@ -31,6 +31,7 @@ mirroring the reference's ``dim3(b, h, Tr)`` grid with its in-kernel Tc loop
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -583,12 +584,19 @@ def _fwd_causal_resident_kernel(
 # of vector-register spill slots and OOMed VMEM; N=4096 (8 chains) fits and
 # runs 148 TFLOP/s equal-work (v5e). Longer sequences use the flat grid,
 # whose per-row overhead amortizes at large N anyway (136 TF at 8192).
-_RESIDENT_CAUSAL_MAX_N = 4096
+_RESIDENT_CAUSAL_MAX_N = int(os.environ.get("FLASHATTN_TPU_RC_MAXN", 4096))
 # Chain geometry: 512-row chains × 2048-wide kv tiles measured best at
 # N=4096 D=128 on v5e — 163 TFLOP/s equal-work vs 150/148/139 for
 # (512,1024)/(1024,1024)/(512,4096); nearly the non-causal rate (167).
+# Past 4096 rows the chain count is capped at 8 (wider chains) to bound the
+# unrolled live state — relevant only under the experimental env override.
 _RC_SUB_Q = 512
 _RC_SUB_K = 2048
+
+
+def _rc_geometry(Nqp):
+    sub_q = max(_RC_SUB_Q, Nqp // 8) if Nqp > 4096 else _RC_SUB_Q
+    return min(sub_q, Nqp), min(_RC_SUB_K, Nqp)
 
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,
@@ -703,7 +711,7 @@ def fwd_padded(
         and kv_splits == 1 and q_splits >= 2
         and (block_q // q_splits) % NUM_LANES == 0)
 
-    rc_sub_q, rc_sub_k = min(_RC_SUB_Q, Nqp), min(_RC_SUB_K, Nqp)
+    rc_sub_q, rc_sub_k = _rc_geometry(Nqp)
     if _use_resident_causal(
             causal=causal, window=window, need_tail_mask=need_tail_mask,
             bias=bias, k_scale=k_scale, v_scale=v_scale,
