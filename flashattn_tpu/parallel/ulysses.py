@@ -28,6 +28,7 @@ def ulysses_attention(
     causal: bool = False,
     scale: float | None = None,
     bias: jax.Array | None = None,
+    window: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Sequence-parallel attention via all-to-all (call inside ``shard_map``).
 
@@ -67,7 +68,7 @@ def ulysses_attention(
 
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
     og = flash_attention(
-        qg, kg, vg, causal=causal, scale=scale
+        qg, kg, vg, causal=causal, scale=scale, window=window
     )
     return head_to_seq(og)
 
@@ -79,6 +80,7 @@ def ulysses_attention_sharded(
     batch_axis: str | None = "data",
     causal: bool = False,
     scale: float | None = None,
+    window: tuple[int, int] | None = None,
 ):
     """Jitted global-shape entry point for Ulysses SP."""
     n = mesh.shape[axis]
@@ -86,7 +88,8 @@ def ulysses_attention_sharded(
 
     def local(q, k, v):
         return ulysses_attention(
-            q, k, v, axis_name=axis, axis_size=n, causal=causal, scale=scale
+            q, k, v, axis_name=axis, axis_size=n, causal=causal, scale=scale,
+            window=window,
         )
 
     mapped = jax.shard_map(

@@ -155,3 +155,16 @@ def test_ulysses_rejects_bad_heads():
     fn = ulysses_attention_sharded(mesh, batch_axis=None)
     with pytest.raises(ValueError):
         fn(q, k, v)
+
+
+def test_ulysses_window():
+    """Sliding-window SP: window semantics are global after the seq->head
+    all-to-all, so the parameter passes straight through to the kernel."""
+    _need8()
+    mesh = make_mesh(seq=4)
+    q, k, v = make_qkv(jax.random.PRNGKey(31), 1, 8, 512, 64)
+    fn = ulysses_attention_sharded(
+        mesh, causal=True, window=(128, 0), batch_axis=None)
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v, causal=True, window=(128, 0))
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
