@@ -447,6 +447,7 @@ def _fwd_causal_resident_kernel(
     kv_valid_len: int,
     causal: bool = True,
     window: tuple[int, int] | None = None,
+    lookahead: int | None = None,
 ):
     """Whole-sequence causal forward, one grid step per (batch, head).
 
@@ -554,12 +555,34 @@ def _fwd_causal_resident_kernel(
     # Round-major schedule: within a round every chain's QK^T is issued
     # before any chain's softmax/PV — the independent dots fill the MXU
     # while earlier chains run their VPU softmax (the fast_block pattern).
-    for r in range(max_rounds):
-        live = [qp for qp in range(n_chains) if r < len(tiles[qp])]
-        s_parts = {qp: qk_dot(qp, *tiles[qp][r][:2]) for qp in live}
-        for qp in live:
+    # ``lookahead`` bounds how many dots are in flight instead of a full
+    # round: at N=8192 a full 16-chain round held 64 MB of f32 score tiles
+    # live, which is precisely the register/VMEM spill that killed the
+    # round-1 big-N experiment. A sliding window of L issued-but-unconsumed
+    # dots keeps the MXU/VPU overlap with O(L) live score memory.
+    order = [(r, qp) for r in range(max_rounds)
+             for qp in range(n_chains) if r < len(tiles[qp])]
+    if lookahead is None:
+        for r in range(max_rounds):
+            live = [qp for qp in range(n_chains) if r < len(tiles[qp])]
+            s_parts = {qp: qk_dot(qp, *tiles[qp][r][:2]) for qp in live}
+            for qp in live:
+                col0, w, up, lo, cb = tiles[qp][r]
+                state[qp] = update(state[qp], s_parts[qp],
+                                   col0, w, up, lo, cb)
+    else:
+        pending = {}
+        for idx in range(min(lookahead, len(order))):
+            r, qp = order[idx]
+            pending[idx] = qk_dot(qp, *tiles[qp][r][:2])
+        for idx, (r, qp) in enumerate(order):
+            nxt = idx + lookahead
+            if nxt < len(order):
+                nr, nqp = order[nxt]
+                pending[nxt] = qk_dot(nqp, *tiles[nqp][nr][:2])
             col0, w, up, lo, cb = tiles[qp][r]
-            state[qp] = update(state[qp], s_parts[qp], col0, w, up, lo, cb)
+            state[qp] = update(state[qp], pending.pop(idx),
+                               col0, w, up, lo, cb)
 
     for qp in range(n_chains):
         m, l, acc = state[qp]
@@ -718,11 +741,15 @@ def fwd_padded(
             static_offsets=static_offsets, Nqp=Nqp, Nkp=Nkp, D=D,
             sub_q=rc_sub_q, sub_k=rc_sub_k):
         n = Nqp
+        la_env = os.environ.get("FLASHATTN_TPU_RC_LOOKAHEAD")
+        lookahead = (int(la_env) if la_env
+                     else (8 if Nqp > 4096 else None))
         kernel = functools.partial(
             _fwd_causal_resident_kernel,
             n=n, sub_q=rc_sub_q, sub_k=rc_sub_k, head_dim=D,
             aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE,
-            kv_valid_len=kv_valid_len, causal=causal, window=window)
+            kv_valid_len=kv_valid_len, causal=causal, window=window,
+            lookahead=lookahead)
         out_shapes = [jax.ShapeDtypeStruct((B, Hq, n, D), q.dtype)]
         out_specs = [pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
                                   memory_space=pltpu.VMEM)]
