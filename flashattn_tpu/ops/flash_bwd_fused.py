@@ -23,6 +23,7 @@ dbias) use the two-kernel path in flash_bwd.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -440,7 +441,7 @@ def _bwd_causal_resident_kernel(
 # Same budget rationale as the forward's resident path: the unrolled
 # dataflow accumulators must stay VMEM/register-resident, and the pair
 # count grows as (N/sub)². N=4096 (10 pairs at sub=1024) fits.
-_RESIDENT_BWD_MAX_N = 4096
+_RESIDENT_BWD_MAX_N = int(os.environ.get("FLASHATTN_TPU_RB_MAXN", 4096))
 _RB_SUB = 1024
 _RB_TRI_SUB = 256
 
