@@ -1,0 +1,27 @@
+#!/bin/bash
+# Refresh every committed sweep in benchmarks/results/ on the real chip.
+# One TPU process at a time — runs are strictly sequential. ~40-60 min cold,
+# much less with a warm .jax_cache. Run from the repo root:
+#   bash benchmarks/refresh_results.sh [results_dir]
+set -e
+cd "$(dirname "$0")/.."
+OUT=${1:-benchmarks/results}
+B=benchmarks/bench_attention.py
+
+run() { # run <outfile> <args...>
+  local f=$1; shift
+  echo "=== $f : $*" >&2
+  python "$B" "$@" > "$OUT/$f.tmp" && mv "$OUT/$f.tmp" "$OUT/$f"
+}
+
+run attn_fwd_bf16.jsonl               --mode fwd
+run attn_fwd_causal_bf16.jsonl        --mode fwd --causal
+run attn_fwd_bwd_bf16.jsonl           --mode fwd_bwd
+run attn_fwd_bwd_causal_bf16.jsonl    --mode fwd_bwd --causal
+run attn_fwd_window2048_bf16.jsonl    --mode fwd     --window 2048
+run attn_fwd_bwd_window2048_bf16.jsonl --mode fwd_bwd --window 2048
+run attn_fwd_bnhd_bf16.jsonl          --mode fwd --layout BNHD
+run attn_fwd_unaligned_bf16.jsonl     --mode fwd --unaligned --impls ours,jaxfa
+run attn_fwd_fp16.jsonl               --mode fwd --dtype float16 --quick --impls ours,xla
+run attn_fwd_f32.jsonl                --mode fwd --dtype float32 --quick --impls ours,xla
+echo "done: $OUT" >&2
