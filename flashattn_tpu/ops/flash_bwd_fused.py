@@ -294,7 +294,8 @@ def _bwd_causal_resident_kernel(
     causal: bool = True,
     window: tuple[int, int] | None = None,
 ):
-    """Whole-sequence causal fused backward, one grid step per (batch, head).
+    """Whole-sequence static-band fused backward, one grid step per
+    (batch, head).
 
     Same rationale as the forward's resident kernel (flash_fwd.py): the flat
     grid pays a per-step pipeline bubble; here the entire causal pair

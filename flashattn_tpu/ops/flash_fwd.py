@@ -449,7 +449,8 @@ def _fwd_causal_resident_kernel(
     window: tuple[int, int] | None = None,
     lookahead: int | None = None,
 ):
-    """Whole-sequence causal forward, one grid step per (batch, head).
+    """Whole-sequence static-band forward (causal / sliding window / local
+    window), one grid step per (batch, head).
 
     The flat-grid causal kernel (above) pays a pipeline bubble per q-row
     transition (init + store + un-overlapped DMA): measured ~1.5 µs × Tq rows
