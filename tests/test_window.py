@@ -7,7 +7,8 @@ import pytest
 
 from flashattn_tpu import flash_attention
 from flashattn_tpu.ops.oracle import attention_reference
-from flashattn_tpu.utils.testing import make_qkv
+from flashattn_tpu.utils.testing import (BWD_TOL, FWD_TOL, assert_close,
+                                          make_qkv)
 
 CASES = [
     # (N, window, causal) — windows chosen to land inside/astride tiles
@@ -169,3 +170,26 @@ def test_window_with_gqa_and_bias():
     dbw = jax.grad(lambda b: (attention_reference(
         q, k, v, bias=b, window=window) ** 2).sum())(bias)
     assert float(jnp.max(jnp.abs(db - dbw))) < 2e-3
+
+
+def test_window_gqa_unaligned_bf16_composition():
+    """Composition stress over the resident band paths: GQA heads,
+    causal+window band, non-tile-aligned N, bf16 storage — fwd and grads
+    vs the f32 oracle."""
+    q, k, v = make_qkv(jax.random.PRNGKey(70), 1, 4, 700, 64, Hkv=2,
+                       dtype=jnp.bfloat16)
+    kw = dict(causal=True, window=(96, 0))
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    got = flash_attention(q, k, v, **kw)
+    want = attention_reference(qf, kf, vf, **kw)
+    assert_close(got.astype(jnp.float32), want,
+                 FWD_TOL[jnp.bfloat16.dtype])
+    g = jax.grad(lambda q, k, v: (
+        flash_attention(q, k, v, **kw).astype(jnp.float32) ** 2).sum(),
+        (0, 1, 2))(q, k, v)
+    gw = jax.grad(lambda q, k, v: (
+        attention_reference(q, k, v, **kw) ** 2).sum(), (0, 1, 2))(
+        qf, kf, vf)
+    for name, a, b in zip(("dq", "dk", "dv"), g, gw):
+        assert_close(a.astype(jnp.float32), b,
+                     BWD_TOL[jnp.bfloat16.dtype], name)
