@@ -171,6 +171,22 @@ def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
         info["nk_padded"] = _round_up(Nk, bs.block_k)
         info["d_padded"] = _pad_head_dim(D)
         info["planner"] = "python"
+    # Forward-route prediction (default call: no bias/quant, offsets 0).
+    from flashattn_tpu.ops import flash_fwd as _ff
+
+    nqp = info.get("nq_padded", _round_up(Nq, info.get("block_q", 128)))
+    nkp = info.get("nk_padded", _round_up(Nk, info.get("block_k", 128)))
+    sub_q, sub_k = _ff._rc_geometry(nqp)
+    if _ff._use_resident_causal(
+            causal=causal, window=None, need_tail_mask=Nk != nkp,
+            bias=None, k_scale=None, v_scale=None, static_offsets=(0, 0),
+            Nqp=nqp, Nkp=nkp, D=D, sub_q=sub_q, sub_k=sub_k):
+        info["fwd_route"] = "resident"
+        info["resident_chains"] = nqp // sub_q
+    elif causal:
+        info["fwd_route"] = "flat-grid"
+    else:
+        info["fwd_route"] = "dense-grid"
     return info
 
 
