@@ -24,4 +24,5 @@ run attn_fwd_bnhd_bf16.jsonl          --mode fwd --layout BNHD
 run attn_fwd_unaligned_bf16.jsonl     --mode fwd --unaligned --impls ours,jaxfa
 run attn_fwd_fp16.jsonl               --mode fwd --dtype float16 --quick --impls ours,xla
 run attn_fwd_f32.jsonl                --mode fwd --dtype float32 --quick --impls ours,xla
+python benchmarks/plot_results.py
 echo "done: $OUT" >&2
