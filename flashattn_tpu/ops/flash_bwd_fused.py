@@ -365,18 +365,21 @@ def _bwd_causal_resident_kernel(
             out.append((s2, dp, ch))
         return out
 
-    def add_rows(acc, r0, contrib):
-        """acc[r0:r0+rows] += contrib as pure dataflow (static slices)."""
+    # Accumulators are lists of 128-row segments: a partial-range update
+    # touches only its overlapped segments (pure value rebind, no copy of
+    # untouched rows — a concatenate-rebuild would copy the whole tile per
+    # update). band_chunk guarantees every row offset/width is lane-aligned.
+    def seg_init():
+        return [jnp.zeros((NUM_LANES, head_dim), jnp.float32)
+                for _ in range(sub // NUM_LANES)]
+
+    def seg_add(segs, r0, contrib):
         rows = contrib.shape[0]
-        if r0 == 0 and rows == acc.shape[0]:
-            return acc + contrib
-        parts = []
-        if r0 > 0:
-            parts.append(acc[:r0])
-        parts.append(acc[r0:r0 + rows] + contrib)
-        if r0 + rows < acc.shape[0]:
-            parts.append(acc[r0 + rows:])
-        return jnp.concatenate(parts, axis=0)
+        out = list(segs)
+        for s in range(rows // NUM_LANES):
+            k = r0 // NUM_LANES + s
+            out[k] = out[k] + contrib[s * NUM_LANES:(s + 1) * NUM_LANES]
+        return out
 
     def body(pair, leads, dq_i, dk_j, dv_j):
         j, i, chunks = pair
@@ -402,17 +405,17 @@ def _bwd_causal_resident_kernel(
             doc = do_ref[0, 0, rsl, :]
             col0 = c0e - j * sub
             # dV += P^T·dO ; dS = P⊙(dP−Δ) ; dK += dS^T·Q ; dQ += dS·K
-            dv_j = add_rows(dv_j, col0,
-                            dot(p.astype(mmd), doc, ((0,), (0,))))
+            dv_j = seg_add(dv_j, col0,
+                           dot(p.astype(mmd), doc, ((0,), (0,))))
             ds = (p * (dp - delta_ref[0, 0, rsl, :1])).astype(mmd)
-            dk_j = add_rows(dk_j, col0,
-                            dot(ds, q2_ref[0, 0, rsl, :], ((0,), (0,))))
-            dq_i = add_rows(dq_i, rsl.start - i * sub,
-                            dot(ds, k_ref[0, 0, c0e:c0e + w, :],
-                                ((1,), (0,))))
+            dk_j = seg_add(dk_j, col0,
+                           dot(ds, q2_ref[0, 0, rsl, :], ((0,), (0,))))
+            dq_i = seg_add(dq_i, rsl.start - i * sub,
+                           dot(ds, k_ref[0, 0, c0e:c0e + w, :],
+                               ((1,), (0,))))
         return dq_i, dk_j, dv_j
 
-    dq_acc = {i: jnp.zeros((sub, head_dim), jnp.float32) for i in range(tq)}
+    dq_acc = {i: seg_init() for i in range(tq)}
     dkv_acc = {}
 
     leads = lead(pairs[0]) if pairs else None
@@ -421,22 +424,28 @@ def _bwd_causal_resident_kernel(
         leads = lead(pairs[p + 1]) if p + 1 < len(pairs) else None
         j, i = pr[0], pr[1]
         if j not in dkv_acc:
-            dkv_acc[j] = (jnp.zeros((sub, head_dim), jnp.float32),
-                          jnp.zeros((sub, head_dim), jnp.float32))
+            dkv_acc[j] = (seg_init(), seg_init())
         dk_j, dv_j = dkv_acc[j]
         dq_acc[i], dk_j, dv_j = body(pr, cur, dq_acc[i], dk_j, dv_j)
         dkv_acc[j] = (dk_j, dv_j)
 
+    def seg_store(ref, tile, segs, mul=None):
+        for s, seg in enumerate(segs):
+            r0 = tile * sub + s * NUM_LANES
+            val = seg if mul is None else seg * mul
+            ref[0, 0, r0:r0 + NUM_LANES, :] = val.astype(ref.dtype)
+
+    zero_segs = None
     for i in range(tq):
-        rsl = slice(i * sub, (i + 1) * sub)
-        dq_ref[0, 0, rsl, :] = (dq_acc[i] * scale).astype(dq_ref.dtype)
+        seg_store(dq_ref, i, dq_acc[i], scale)
         if i in dkv_acc:
             dk_j, dv_j = dkv_acc[i]
-            dk_ref[0, 0, rsl, :] = (dk_j * LN2).astype(dk_ref.dtype)
-            dv_ref[0, 0, rsl, :] = dv_j.astype(dv_ref.dtype)
+            seg_store(dk_ref, i, dk_j, LN2)
+            seg_store(dv_ref, i, dv_j)
         else:  # kv tile entirely past kv_valid_len
-            dk_ref[0, 0, rsl, :] = jnp.zeros((sub, head_dim), dk_ref.dtype)
-            dv_ref[0, 0, rsl, :] = jnp.zeros((sub, head_dim), dv_ref.dtype)
+            zero_segs = zero_segs or seg_init()
+            seg_store(dk_ref, i, zero_segs)
+            seg_store(dv_ref, i, zero_segs)
 
 
 # Same budget rationale as the forward's resident path: the unrolled
