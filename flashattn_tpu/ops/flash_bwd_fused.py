@@ -415,8 +415,19 @@ def _bwd_causal_resident_kernel(
                                ((1,), (0,))))
         return dq_i, dk_j, dv_j
 
+    def seg_store(ref, tile, segs, mul=None):
+        for s, seg in enumerate(segs):
+            r0 = tile * sub + s * NUM_LANES
+            val = seg if mul is None else seg * mul
+            ref[0, 0, r0:r0 + NUM_LANES, :] = val.astype(ref.dtype)
+
     dq_acc = {i: seg_init() for i in range(tq)}
     dkv_acc = {}
+    # Pairs are kv-major contiguous: store each kv tile's dK/dV right after
+    # its last pair so the f32 segments go dead early (dQ row accumulators
+    # necessarily stay live to the end).
+    last_pair_of_j = {pr[0]: p for p, pr in enumerate(pairs)}
+    stored_j = set()
 
     leads = lead(pairs[0]) if pairs else None
     for p, pr in enumerate(pairs):
@@ -428,21 +439,16 @@ def _bwd_causal_resident_kernel(
         dk_j, dv_j = dkv_acc[j]
         dq_acc[i], dk_j, dv_j = body(pr, cur, dq_acc[i], dk_j, dv_j)
         dkv_acc[j] = (dk_j, dv_j)
-
-    def seg_store(ref, tile, segs, mul=None):
-        for s, seg in enumerate(segs):
-            r0 = tile * sub + s * NUM_LANES
-            val = seg if mul is None else seg * mul
-            ref[0, 0, r0:r0 + NUM_LANES, :] = val.astype(ref.dtype)
+        if last_pair_of_j[j] == p:
+            seg_store(dk_ref, j, dk_j, LN2)
+            seg_store(dv_ref, j, dv_j)
+            stored_j.add(j)
+            del dkv_acc[j]
 
     zero_segs = None
     for i in range(tq):
         seg_store(dq_ref, i, dq_acc[i], scale)
-        if i in dkv_acc:
-            dk_j, dv_j = dkv_acc[i]
-            seg_store(dk_ref, i, dk_j, LN2)
-            seg_store(dv_ref, i, dv_j)
-        else:  # kv tile entirely past kv_valid_len
+        if i not in stored_j:  # kv tile with no live pairs (past the band)
             zero_segs = zero_segs or seg_init()
             seg_store(dk_ref, i, zero_segs)
             seg_store(dv_ref, i, zero_segs)
