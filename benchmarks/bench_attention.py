@@ -116,9 +116,10 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
                 .astype(jnp.float32).sum(),
                 argnums=(0, 1, 2),
             )(qq, k, v)
-            return qq + 0.0 * dq + (0.0 * (dk.astype(jnp.float32).sum()
-                                           + dv.astype(jnp.float32).sum())
-                                    ).astype(qq.dtype)
+            # 1e-30, not 0.0: XLA may fold 0.0*x and DCE the backward.
+            return qq + 1e-30 * dq + (1e-30 * (dk.astype(jnp.float32).sum()
+                                               + dv.astype(jnp.float32).sum())
+                                      ).astype(qq.dtype)
 
     try:
         t = time_chained(step, q, consts=(k, v), iters=iters,

@@ -71,7 +71,7 @@ def bench_quantized_attn(B, H, nk, D, iters, kv_dtype):
     v = jax.random.normal(kv2, (B, H, nk, D), jnp.bfloat16)
 
     if kv_dtype == "bf16":
-        step = lambda qq, k, v: qq + 0.0 * flash_attention(qq, k, v)
+        step = lambda qq, k, v: qq + 1e-30 * flash_attention(qq, k, v)
         consts = (k, v)
     else:
         # allow_slow_fp8: measure REAL fp8 here (the library guard would
@@ -79,7 +79,7 @@ def bench_quantized_attn(B, H, nk, D, iters, kv_dtype):
         # bench's job is to record the honest fp8 number per chip)
         qkv = quantize_kv(k, v, jnp.int8 if kv_dtype == "int8"
                           else jnp.float8_e4m3fn, allow_slow_fp8=True)
-        step = lambda qq, qkv: qq + 0.0 * flash_attention_quantized(qq, qkv)
+        step = lambda qq, qkv: qq + 1e-30 * flash_attention_quantized(qq, qkv)
         consts = (qkv,)
 
     t = time_chained(step, q, consts=consts, iters=iters,

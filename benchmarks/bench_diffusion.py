@@ -71,7 +71,8 @@ def build_step(params, cfg, latent_hw, batch, attn_impl, mode="sample"):
             g = jax.grad(loss_fn)(params)
             gs = sum(jnp.sum(l.astype(jnp.float32))
                      for l in jax.tree_util.tree_leaves(g))
-            return x + (0.0 * gs).astype(x.dtype)
+            # 1e-30, not 0.0: XLA may fold 0.0*x and DCE the backward.
+            return x + (1e-30 * gs).astype(x.dtype)
 
     x0 = jax.random.normal(
         jax.random.PRNGKey(1), (batch, latent_hw, latent_hw, cfg.in_channels),

@@ -51,9 +51,10 @@ def timing(tag, kw, mode, B=1, H=24, N=4096, D=128, dtype=jnp.bfloat16):
             dq, dk, dv = jax.grad(
                 lambda x, kk, vv: flash_attention(x, kk, vv, **kw)
                 .astype(jnp.float32).sum(), argnums=(0, 1, 2))(qq, k, v)
-            return qq + 0.0 * dq + (0.0 * (dk.astype(jnp.float32).sum()
-                                           + dv.astype(jnp.float32).sum())
-                                    ).astype(qq.dtype)
+            # 1e-30, not 0.0: XLA may fold 0.0*x and DCE the backward.
+            return qq + 1e-30 * dq + (1e-30 * (dk.astype(jnp.float32).sum()
+                                               + dv.astype(jnp.float32).sum())
+                                      ).astype(qq.dtype)
     t = time_chained(step, q, consts=(k, v), iters=16,
                      warmup_iters=4, repeats=3)
     fl = attention_flops(B, H, N, N, D, causal=kw.get("causal", False),
