@@ -17,7 +17,7 @@ enable_compilation_cache()
 
 from flashattn_tpu import flash_attention
 from flashattn_tpu.ops.oracle import attention_reference
-from flashattn_tpu.utils.testing import FWD_TOL, make_qkv
+from flashattn_tpu.utils.testing import BWD_TOL, FWD_TOL, make_qkv
 from flashattn_tpu.utils.timing import attention_flops, time_chained
 
 
@@ -33,11 +33,19 @@ def check(tag, kw, B=1, H=8, N=1024, D=64, dtype=jnp.bfloat16, Nk=None):
     gw = jax.grad(lambda q, k, v: (
         attention_reference(q, k, v, **kw) ** 2).sum(), (0, 1, 2))(
         *(x.astype(jnp.float32) for x in (q, k, v)))
-    gmd = max(float(jnp.max(jnp.abs(a.astype(jnp.float32) - b)))
-              for a, b in zip(g, gw))
-    ok = md < FWD_TOL[jnp.dtype(dtype)].atol and gmd < 8e-2
+    # abs OR relative, the assert_close convention: the (o²).sum() loss makes
+    # grads O(10), where bf16 resolution alone exceeds the absolute budget.
+    gtol = BWD_TOL[jnp.dtype(dtype)]
+    gmd = gmr = 0.0
+    for a, b in zip(g, gw):
+        d = jnp.abs(a.astype(jnp.float32) - b)
+        gmd = max(gmd, float(jnp.max(d)))
+        gmr = max(gmr, float(jnp.max(d / jnp.maximum(jnp.abs(b), 1.0))))
+    ok = (md < FWD_TOL[jnp.dtype(dtype)].atol
+          and (gmd < gtol.atol or gmr < gtol.rtol))
     print(json.dumps({"check": tag, "N": N, "D": D, "maxdiff": round(md, 6),
-                      "grad_maxdiff": round(gmd, 6), "ok": ok}), flush=True)
+                      "grad_maxdiff": round(gmd, 6),
+                      "grad_maxrel": round(gmr, 6), "ok": ok}), flush=True)
     if not ok:
         sys.exit(f"NUMERICS FAILED: {tag}")
 
@@ -73,6 +81,14 @@ if __name__ == "__main__":
     check("win-only", dict(causal=False, window=(128, 64)))
     check("causal-D64-aug", dict(causal=True), D=96)
     if "--numerics-only" in sys.argv:
+        sys.exit(0)
+    if "--big-n" in sys.argv:
+        # Raised-ceiling probe (FLASHATTN_TPU_RC_MAXN/RB_MAXN=8192): does the
+        # bounded-lookahead issue schedule hold at N=8192 on chip? H=1 keeps
+        # the O(N²) oracle inside the chip's memory.
+        check("causal-8k", dict(causal=True), N=8192, H=1)
+        timing("causal-8k", dict(causal=True), "fwd", N=8192)
+        timing("causal-8k", dict(causal=True), "fwd_bwd", N=8192)
         sys.exit(0)
     # Headline rates.
     timing("causal", dict(causal=True), "fwd")
