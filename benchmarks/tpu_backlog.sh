@@ -25,6 +25,20 @@ step "refresh_results"
 bash benchmarks/refresh_results.sh 2>&1 | tee "$LOGD/refresh_results.log"
 [ "$STOP" = refresh ] && exit 0
 
+# 2b. Decode + SD end-to-end sweeps (their committed jsonl predate the
+#     resident kernels and the 1e-30 grad-keepalive fix).
+step "decode + diffusion"
+python benchmarks/bench_decode.py > benchmarks/results/decode.jsonl.tmp \
+  && mv benchmarks/results/decode.jsonl.tmp benchmarks/results/decode.jsonl
+python benchmarks/bench_diffusion.py --mode sample \
+  > benchmarks/results/sd_sample_its.jsonl.tmp \
+  && mv benchmarks/results/sd_sample_its.jsonl.tmp \
+        benchmarks/results/sd_sample_its.jsonl
+python benchmarks/bench_diffusion.py --mode train \
+  > benchmarks/results/sd_train_its.jsonl.tmp \
+  && mv benchmarks/results/sd_train_its.jsonl.tmp \
+        benchmarks/results/sd_train_its.jsonl
+
 # 3. Big-N resident ceilings: does bounded lookahead fix the N=8192 spill?
 step "big-N resident spot"
 FLASHATTN_TPU_RC_MAXN=8192 FLASHATTN_TPU_RB_MAXN=8192 \
