@@ -459,7 +459,22 @@ def _bwd_causal_resident_kernel(
 # count grows as (N/sub)². N=4096 (10 pairs at sub=1024) fits.
 _RESIDENT_BWD_MAX_N = int(os.environ.get("FLASHATTN_TPU_RB_MAXN", 4096))
 _RB_SUB = 1024
-_RB_TRI_SUB = 256
+
+
+def _rb_geometry(Nqp):
+    """Largest lane-aligned square pair tile <= _RB_SUB dividing the
+    sequence, plus the diagonal chunk width (a lane multiple dividing the
+    tile). Mirrors flash_fwd._rc_geometry; with the current fused-bwd
+    launch (1024-row bq_f blocks) every padded length already divides, so
+    the shrink loop is defensive — it keeps the resident route available
+    under any future block policy."""
+    sub = min(_RB_SUB, Nqp)
+    while sub > NUM_LANES and (Nqp % sub or sub % NUM_LANES):
+        sub -= NUM_LANES
+    tri = max(NUM_LANES, (sub // 4) // NUM_LANES * NUM_LANES)
+    while sub % tri:
+        tri -= NUM_LANES
+    return sub, tri
 
 
 def _use_resident_bwd(*, causal, window, static_offsets, Nqp, Nkp, sub):
@@ -497,13 +512,13 @@ def bwd_fused_padded(
     # Fold scale·log2e into q; lse → log2 domain to match (passed below).
     q2 = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
 
-    rb_sub = min(_RB_SUB, Nqp)
+    rb_sub, rb_tri = _rb_geometry(Nqp)
     if _use_resident_bwd(causal=causal, window=window,
                          static_offsets=static_offsets, Nqp=Nqp, Nkp=Nkp,
                          sub=rb_sub):
         kernel = functools.partial(
             _bwd_causal_resident_kernel,
-            n=Nqp, sub=rb_sub, tri_sub=max(NUM_LANES, rb_sub // 4),
+            n=Nqp, sub=rb_sub, tri_sub=rb_tri,
             head_dim=D, kv_valid_len=kv_valid_len,
             mask_value=DEFAULT_MASK_VALUE, scale=scale,
             causal=causal, window=window)

@@ -620,7 +620,13 @@ _RC_SUB_K = 2048
 
 def _rc_geometry(Nqp):
     sub_q = max(_RC_SUB_Q, Nqp // 8) if Nqp > 4096 else _RC_SUB_Q
-    return min(sub_q, Nqp), min(_RC_SUB_K, Nqp)
+    # kv tile: largest lane-aligned width <= _RC_SUB_K that divides the
+    # sequence — N = 2560/3072/5120/7168 would otherwise fall off the
+    # resident route only because 2048 doesn't divide them.
+    sub_k = min(_RC_SUB_K, Nqp)
+    while sub_k > NUM_LANES and (Nqp % sub_k or sub_k % NUM_LANES):
+        sub_k -= NUM_LANES
+    return min(sub_q, Nqp), sub_k
 
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,

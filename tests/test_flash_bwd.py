@@ -121,6 +121,42 @@ def test_bwd_resident_causal_route_and_tail():
             assert_close(a, b, BWD_TOL[jnp.float32.dtype], f"{name}@N={N}")
 
 
+def test_bwd_resident_geometry_divisor_tiles():
+    """N=2560: _rb_geometry shrinks the square pair tile to the largest
+    lane-aligned divisor (640, with a 128-row diagonal chunk) so the
+    resident route still applies; grads must match the oracle."""
+    from unittest import mock
+
+    from flashattn_tpu.ops import flash_bwd_fused as fb
+
+    assert fb._rb_geometry(2560) == (640, 128)
+    assert fb._rb_geometry(3072) == (1024, 256)
+    assert fb._rb_geometry(512) == (512, 128)
+    calls = []
+    orig = fb._bwd_causal_resident_kernel
+
+    def spy(*a, **k):
+        calls.append((k["n"], k["sub"], k["tri_sub"]))
+        return orig(*a, **k)
+
+    q, k, v = make_qkv(jax.random.PRNGKey(70), 1, 1, 2560, 64)
+    with mock.patch.object(
+            fb, "_bwd_causal_resident_kernel",
+            mock.Mock(side_effect=spy, __name__="rb")):
+        got = _grads(
+            lambda q, k, v: flash_attention(q, k, v, causal=True), q, k, v)
+    # The host may pad 2560 up to the next block multiple; whatever length
+    # the kernel sees, the tile pair must be _rb_geometry of it.
+    # The fused-bwd launch pads with its own 1024 blocks (flash.py bq_f),
+    # so today every padded length divides cleanly; the geometry-consistency
+    # assert guards any future block policy.
+    assert calls and calls[0][1:] == fb._rb_geometry(calls[0][0]), calls
+    want = _grads(
+        lambda q, k, v: attention_reference(q, k, v, causal=True), q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+
+
 def test_bwd_resident_banded_windows():
     """The resident fused backward also serves static sliding-window bands
     (causal+window and pure local window) — grads must match the oracle."""

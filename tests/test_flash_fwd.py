@@ -206,6 +206,25 @@ def test_fwd_resident_causal_padded_tail():
     got2 = flash_attention(q2, k2, v2, causal=True)
     assert_close(got2, want2, FWD_TOL[jnp.float32.dtype], "tail-cross")
 
+def test_fwd_resident_geometry_divisor_tiles():
+    """N=2560 is not a multiple of the preferred 2048-wide kv tile;
+    _rc_geometry falls back to the largest lane-aligned divisor (1280)
+    instead of dropping to the flat grid. Routing + oracle numerics."""
+    from flashattn_tpu.ops import flash_fwd as ff
+
+    assert ff._rc_geometry(2560) == (512, 1280)
+    assert ff._rc_geometry(3072) == (512, 1536)
+    assert ff._rc_geometry(4096) == (512, 2048)
+    assert ff._use_resident_causal(
+        causal=True, window=None, need_tail_mask=False, bias=None,
+        k_scale=None, v_scale=None, static_offsets=(0, 0),
+        Nqp=2560, Nkp=2560, D=64, sub_q=512, sub_k=1280)
+    q, k, v = make_qkv(jax.random.PRNGKey(31), 1, 1, 2560, 64)
+    want = attention_reference(q, k, v, causal=True)
+    got = flash_attention(q, k, v, causal=True)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype], "resident-2560")
+
+
 def test_fwd_flat_tri_diagonal_blocks():
     """Flat-grid causal with square blocks exercises tri_block (statically
     narrowed diagonal dots). Bias defeats the resident gate, so this routes
