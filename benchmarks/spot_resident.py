@@ -84,11 +84,15 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--big-n" in sys.argv:
         # Raised-ceiling probe (FLASHATTN_TPU_RC_MAXN/RB_MAXN=8192): does the
-        # bounded-lookahead issue schedule hold at N=8192 on chip? H=1 keeps
-        # the O(N²) oracle inside the chip's memory.
+        # bounded-lookahead issue schedule hold past 4096 on chip? Compare
+        # against the flat-grid numbers in the refreshed sweeps. N=5120
+        # exercises the divisor tile (sub_k=1280, 10 chains of 640 rows);
+        # H=1 keeps the O(N²) oracle inside the chip's memory.
+        check("causal-5k", dict(causal=True), N=5120, H=1)
         check("causal-8k", dict(causal=True), N=8192, H=1)
-        timing("causal-8k", dict(causal=True), "fwd", N=8192)
-        timing("causal-8k", dict(causal=True), "fwd_bwd", N=8192)
+        for N in (5120, 6144, 8192):
+            timing("causal-bign", dict(causal=True), "fwd", N=N)
+            timing("causal-bign", dict(causal=True), "fwd_bwd", N=N)
         sys.exit(0)
     # Headline rates.
     timing("causal", dict(causal=True), "fwd")
