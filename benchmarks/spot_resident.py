@@ -80,6 +80,8 @@ if __name__ == "__main__":
     check("causal+win", dict(causal=True, window=(256, 0)))
     check("win-only", dict(causal=False, window=(128, 64)))
     check("causal-D64-aug", dict(causal=True), D=96)
+    # Pads to 3072: resident fwd takes the divisor kv tile (sub_k=1536).
+    check("causal-divisor", dict(causal=True), N=2560, H=2)
     if "--numerics-only" in sys.argv:
         sys.exit(0)
     if "--big-n" in sys.argv:
