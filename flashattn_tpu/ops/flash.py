@@ -176,6 +176,17 @@ def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
 
     nqp = info.get("nq_padded", _round_up(Nq, info.get("block_q", 128)))
     nkp = info.get("nk_padded", _round_up(Nk, info.get("block_k", 128)))
+    # Mirror _flash_core_fwd_impl's chain-granular padding refinement.
+    nr = _round_up(max(Nq, Nk), _ff._RC_SUB_Q)
+    if (nr < max(nqp, nkp)
+            and nr == _round_up(max(min(Nq, Nk), 1), _ff._RC_SUB_Q)):
+        sq, sk = _ff._rc_geometry(nr)
+        if _ff._use_resident_causal(
+                causal=causal, window=None, need_tail_mask=Nk != nr,
+                bias=None, k_scale=None, v_scale=None, static_offsets=(0, 0),
+                Nqp=nr, Nkp=nr, D=D, sub_q=sq, sub_k=sk):
+            nqp = nkp = nr
+            info["nq_padded"] = info["nk_padded"] = nr
     sub_q, sub_k = _ff._rc_geometry(nqp)
     if _ff._use_resident_causal(
             causal=causal, window=None, need_tail_mask=Nk != nkp,
@@ -247,6 +258,21 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
     Hkv, Nk = k.shape[1], k.shape[2]
     bq, bk = blocks.block_q, blocks.block_k
     nqp, nkp = _round_up(Nq, bq), _round_up(Nk, bk)
+    # Resident-eligible near-square shapes pad at chain granularity (512
+    # rows), not the flat-grid block: with 1024/2048 blocks an unaligned
+    # N=3073 otherwise pads to 4096 — 33% dead rows on the hot causal path.
+    # Blocks drop to 512 alongside so the flat grid stays valid either way.
+    nr = _round_up(max(Nq, Nk), flash_fwd._RC_SUB_Q)
+    if nr < max(nqp, nkp) and nr == _round_up(
+            max(min(Nq, Nk), 1), flash_fwd._RC_SUB_Q):
+        sq, sk = flash_fwd._rc_geometry(nr)
+        if flash_fwd._use_resident_causal(
+                causal=causal, window=window, need_tail_mask=Nk != nr,
+                bias=bias, k_scale=None, v_scale=None,
+                static_offsets=static_offsets,
+                Nqp=nr, Nkp=nr, D=D, sub_q=sq, sub_k=sk):
+            nqp = nkp = nr
+            bq = bk = flash_fwd._RC_SUB_Q
     dp = _pad_head_dim(D)
 
     qp = _pad_axis(_pad_axis(q, 2, nqp), 3, dp)

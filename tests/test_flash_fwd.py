@@ -225,6 +225,33 @@ def test_fwd_resident_geometry_divisor_tiles():
     assert_close(got, want, FWD_TOL[jnp.float32.dtype], "resident-2560")
 
 
+def test_fwd_resident_chain_granular_padding():
+    """Resident-eligible unaligned shapes pad to 512-row chains, not the
+    flat-grid block: N=2561 used to pad (3072, 4096) with 1024/2048 blocks
+    (unequal → flat grid); now both sides pad to 3072 and run resident."""
+    from unittest import mock
+
+    from flashattn_tpu.ops import flash_fwd as ff
+
+    calls = []
+    orig = ff._fwd_causal_resident_kernel
+
+    def spy(*a, **k):
+        calls.append((k["n"], k["sub_q"], k["sub_k"]))
+        return orig(*a, **k)
+
+    q, k, v = make_qkv(jax.random.PRNGKey(33), 1, 1, 2561, 64)
+    with mock.patch.object(
+            ff, "_fwd_causal_resident_kernel",
+            mock.Mock(side_effect=spy, __name__="rc")):
+        got = flash_attention(q, k, v, causal=True)
+    assert calls, "resident not routed at N=2561"
+    n_pad = calls[0][0]
+    assert n_pad == 3072 and calls[0][1:] == ff._rc_geometry(n_pad), calls
+    want = attention_reference(q, k, v, causal=True)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype], "chain-pad-2561")
+
+
 def test_fwd_flat_tri_diagonal_blocks():
     """Flat-grid causal with square blocks exercises tri_block (statically
     narrowed diagonal dots). Bias defeats the resident gate, so this routes
