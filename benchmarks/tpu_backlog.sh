@@ -38,6 +38,9 @@ python benchmarks/bench_diffusion.py --mode train \
   > benchmarks/results/sd_train_its.jsonl.tmp \
   && mv benchmarks/results/sd_train_its.jsonl.tmp \
         benchmarks/results/sd_train_its.jsonl
+python benchmarks/bench_lm.py > benchmarks/results/lm_train_tokens.jsonl.tmp \
+  && mv benchmarks/results/lm_train_tokens.jsonl.tmp \
+        benchmarks/results/lm_train_tokens.jsonl
 
 # 3. Big-N resident ceilings: does bounded lookahead fix the N=8192 spill?
 step "big-N resident spot"

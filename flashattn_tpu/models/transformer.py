@@ -117,8 +117,13 @@ def _mlp_block(layer, x):
 
 
 def transformer_forward(params, tokens, cfg: TransformerConfig,
-                        *, interpret=None):
-    """tokens [B, N] int32 → logits [B, N, vocab] f32 (causal LM)."""
+                        *, interpret=None, attn_impl="fused"):
+    """tokens [B, N] int32 → logits [B, N, vocab] f32 (causal LM).
+
+    ``attn_impl``: "fused" routes through the Pallas engine; "xla" computes
+    exact unfused softmax attention — the bench baseline playing the
+    reference's "PyTorch SDPA math backend" role (same switch as
+    models/unet._mha)."""
     B, N = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
@@ -126,6 +131,13 @@ def transformer_forward(params, tokens, cfg: TransformerConfig,
     window = (cfg.sliding_window - 1, -1) if cfg.sliding_window else None
 
     def attn(q, k, v):
+        if attn_impl == "xla":
+            from flashattn_tpu.ops.oracle import attention_reference
+
+            o = attention_reference(
+                q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+                causal=True, window=window)
+            return o.swapaxes(1, 2).astype(q.dtype)
         return flash_attention(
             q, k, v, causal=True, layout="BNHD", interpret=interpret,
             window=window,
@@ -138,10 +150,11 @@ def transformer_forward(params, tokens, cfg: TransformerConfig,
     return jnp.einsum("bnd,vd->bnv", x, params["embed"]).astype(jnp.float32)
 
 
-def lm_loss(params, tokens, cfg: TransformerConfig, *, interpret=None):
+def lm_loss(params, tokens, cfg: TransformerConfig, *, interpret=None,
+            attn_impl="fused"):
     """Next-token cross-entropy (mean over all positions)."""
     logits = transformer_forward(params, tokens[:, :-1], cfg,
-                                 interpret=interpret)
+                                 interpret=interpret, attn_impl=attn_impl)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
