@@ -44,6 +44,16 @@ def test_transformer_forward_and_loss(lm_params):
     assert 3.0 < float(loss) < 7.0  # ~ln(128) at init
 
 
+def test_lm_attn_impl_equivalence(lm_params):
+    """The fused engine and exact-XLA attention must agree through the LM
+    (the bench_lm arms compute the same function; mirrors the U-Net's
+    test_unet_attn_impl_equivalence)."""
+    toks = jax.random.randint(jax.random.PRNGKey(9), (1, 64), 0, 128)
+    lf = float(lm_loss(lm_params, toks, CFG))
+    lx = float(lm_loss(lm_params, toks, CFG, attn_impl="xla"))
+    assert abs(lf - lx) < 5e-3, (lf, lx)
+
+
 def test_decode_matches_forward(lm_params):
     """KV-cache decode must reproduce teacher-forced logits exactly."""
     toks = jax.random.randint(jax.random.PRNGKey(2), (2, 32), 0, 128)
