@@ -99,6 +99,14 @@ retry_run 5400 env FLASHATTN_TPU_TEST_BACKEND=tpu python -m pytest \
   2>&1 | tee "$LOGD/tpu_pytest.log"
 [ "$STOP" = tests ] && exit 0
 
+# 4b. Device traces: fused fwd/bwd kernels + the degenerate 1-chip ring
+#     step (the ring-overlap schedule artifact — VERDICT r1 item 4).
+step "trace capture"
+retry_run 1200 python benchmarks/capture_trace.py --causal \
+  --out benchmarks/results/traces/kernel 2>&1 | tee "$LOGD/trace_kernel.log"
+retry_run 1200 python benchmarks/capture_trace.py --ring \
+  --out benchmarks/results/traces/ring 2>&1 | tee "$LOGD/trace_ring.log"
+
 # 5. Headline bench line (what the driver records).
 step "bench.py"
 retry_run 2400 python bench.py 2>&1 | tee "$LOGD/bench.log"
