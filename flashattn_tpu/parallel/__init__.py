@@ -9,6 +9,10 @@ TPU build adds: the same kernels scaled over a `jax.sharding.Mesh` via
 from flashattn_tpu.parallel.mesh import make_mesh
 from flashattn_tpu.parallel.head_parallel import head_parallel_attention
 from flashattn_tpu.parallel.ring import ring_attention, ring_attention_sharded
+from flashattn_tpu.parallel.ring_kernel import (
+    ring_attention_kernel,
+    ring_attention_kernel_sharded,
+)
 from flashattn_tpu.parallel.ulysses import ulysses_attention
 
 __all__ = [
@@ -16,5 +20,7 @@ __all__ = [
     "head_parallel_attention",
     "ring_attention",
     "ring_attention_sharded",
+    "ring_attention_kernel",
+    "ring_attention_kernel_sharded",
     "ulysses_attention",
 ]

@@ -1,0 +1,502 @@
+"""Kernel-level ring attention: KV rotation by in-kernel remote DMA.
+
+The shard_map ring (ring.py) overlaps the KV ``ppermute`` with compute by
+issuing the collective early and relying on XLA's latency-hiding scheduler.
+This module goes one level deeper — the TPU-native end state of the
+north-star "collectives overlapped with per-tile compute" clause: ONE Pallas
+kernel per device runs the whole ring, rotating KV chunks between neighbor
+HBM buffers with ``pltpu.make_async_remote_copy`` (ICI RDMA) while the MXU
+works on the current chunk. The overlap is structural (DMA in flight across
+the entire step's compute), not a scheduler heuristic.
+
+Algebra is the same online-softmax merge the reference stores residuals for
+(L = m + log l, kernel_fp16.cu:541-542): each device keeps running
+(m, l) rows in VMEM scratch and an *unnormalized* f32 O accumulator in HBM,
+merging one chunk-partial per ring step; the final step normalizes and emits
+``L`` for the backward.
+
+Synchronization per step (standard double-buffered ring):
+
+  wait(capacity)        # right neighbor's landing slot is free
+  rdma.start            # slot[s%2]  ->  right's slot[(s+1)%2]
+  compute on slot[s%2]  # all (b, h, q-tile) partials + merges
+  rdma.wait_send        # our outgoing copy has left the building
+  signal(capacity->left)# slot[s%2] is now reusable at our place
+  rdma.wait_recv        # left's chunk has landed in slot[(s+1)%2]
+
+Because the capacity signal is raised *before* ``wait_recv``, two incoming
+copies (for consecutive steps, landing in opposite slots) may be in flight
+at once. They therefore must NOT share a receive semaphore: a shared
+counting semaphore lets ``wait_recv`` for step s be satisfied by step
+s+1's arrival while s's chunk is still in flight — a stale-slot read the
+first version of this kernel exhibited at P>2. Each landing slot gets its
+own recv semaphore (``recv_sems[(s+1) % 2]``); a slot is never reused
+until its previous copy was consumed (the capacity handshake guarantees
+it), so per-slot semaphores cannot alias.
+
+A neighbor barrier (``pltpu.get_barrier_semaphore``) runs once at step 0 so
+no RDMA can race a device that has not entered the kernel yet.
+
+Validated on the virtual CPU mesh via the Mosaic TPU interpreter
+(``pltpu.InterpretParams``), including its cross-device race detector —
+the "race detection" practice SURVEY.md §5 calls for. The backward pass
+reuses the ppermute ring backward (ring.py) through ``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flashattn_tpu.ops.flash import _dispatch_dtype, _pad_head_dim
+from flashattn_tpu.ops.flash_fwd import LN2, LOG2E
+from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
+from flashattn_tpu.utils import platform
+
+# Rows whose chunk-max never rose above this are fully masked: their partial
+# carries no probability mass and is dropped at merge time.
+_NEG_GUARD = DEFAULT_MASK_VALUE * 0.5
+
+
+def _ring_fwd_kernel(
+    q_hbm,      # ANY [B, Hq, nq, D]   (pre-scaled by scale*log2e)
+    k_hbm,      # ANY [B, Hkv, nk, D]
+    v_hbm,      # ANY [B, Hkv, nk, D]
+    o_hbm,      # ANY [B, Hq, nq, D] f32 out (unnormalized until last step)
+    lse_hbm,    # ANY [B, Hq, nq, 1] f32 out (natural-log LSE)
+    kv_slots,   # ANY [2, 2, B, Hkv, nk, D] rotation buffers (slot, k/v) —
+                # declared as a (discarded) output: HBM scratch is not
+                # allocatable as pallas scratch, but outputs live in HBM
+                # and persist across grid steps.
+    qt_buf,     # VMEM (bq, D) dtype
+    kc,         # VMEM (nk, D) dtype — current K chunk for one (b, hkv)
+    vc,         # VMEM (nk, D) dtype
+    ot_buf,     # VMEM (bq, D) f32 — O read-modify-write tile
+    lse_buf,    # VMEM (bq, 1) f32
+    m_scr,      # VMEM (B*Hq*nqt, bq, 1) f32 — running row max, persists
+    l_scr,      # VMEM (B*Hq*nqt, bq, 1) f32 — running row sum, persists
+    copy_sems,  # DMA (4,)
+    send_sem,   # DMA
+    recv_sems,  # DMA (2,) — one per landing slot (see module docstring)
+    cap_sem,    # REGULAR — capacity handshake
+    *,
+    axis_name: str,
+    n_dev: int,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+):
+    B, Hq, nq, D = q_hbm.shape
+    Hkv, nk = k_hbm.shape[1], k_hbm.shape[2]
+    rep = Hq // Hkv
+    nqt = nq // block_q
+    dtype = q_hbm.dtype
+
+    s = pl.program_id(0)
+    my = jax.lax.axis_index(axis_name)
+    slot = jax.lax.rem(s, 2)
+    if n_dev > 1:
+        right = jax.lax.rem(my + 1, n_dev)
+        left = jax.lax.rem(my + n_dev - 1, n_dev)
+
+    # ---- step 0: stage local KV into slot 0, barrier, open capacity ----
+    @pl.when(s == 0)
+    def _bootstrap():
+        ck = pltpu.make_async_copy(k_hbm, kv_slots.at[0, 0], copy_sems.at[0])
+        cv = pltpu.make_async_copy(v_hbm, kv_slots.at[0, 1], copy_sems.at[1])
+        ck.start()
+        cv.start()
+        ck.wait()
+        cv.wait()
+        if n_dev > 1:
+            barrier = pltpu.get_barrier_semaphore()
+            for nbr in (left, right):
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=nbr,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(barrier, 2)
+            # our slot 1 is virgin — left may send its step-0 chunk
+            pltpu.semaphore_signal(
+                cap_sem, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    def _rdma():
+        # step-s copies land in slot 1-slot everywhere; both sender and
+        # receiver derive the same per-slot recv semaphore from s.
+        return pltpu.make_async_remote_copy(
+            src_ref=kv_slots.at[slot],
+            dst_ref=kv_slots.at[1 - slot],
+            send_sem=send_sem,
+            recv_sem=recv_sems.at[1 - slot],
+            device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    if n_dev > 1:
+        # ---- kick step s+1's rotation BEFORE this step's compute ----
+        @pl.when(s < n_dev - 1)
+        def _send():
+            pltpu.semaphore_wait(cap_sem, 1)  # landing slot free at right
+            _rdma().start()
+
+    # ---- compute: merge this chunk into every (b, h, q-tile) ----
+    src_dev = jax.lax.rem(my - s + n_dev, n_dev)
+    kv_off = src_dev * nk
+    q_base = my * nq
+    is_first = s == 0
+    # Whole-chunk causal skip (chunk strictly above the diagonal for every
+    # local row). Step 0 always computes: it doubles as the O/m/l
+    # initialization pass (and for causal the step-0 chunk, the diagonal,
+    # is live anyway).
+    if causal:
+        run = jnp.logical_or(is_first, kv_off <= q_base + nq - 1)
+    else:
+        run = s >= 0  # always
+
+    @pl.when(run)
+    def _compute():
+        for b in range(B):
+            for hkv in range(Hkv):
+                ck = pltpu.make_async_copy(
+                    kv_slots.at[slot, 0, b, hkv], kc, copy_sems.at[0])
+                cv = pltpu.make_async_copy(
+                    kv_slots.at[slot, 1, b, hkv], vc, copy_sems.at[1])
+                ck.start()
+                cv.start()
+                ck.wait()
+                cv.wait()
+                for hr in range(rep):
+                    h = hkv * rep + hr
+                    for qt in range(nqt):
+                        _merge_tile(
+                            b, h, qt, q_hbm, o_hbm, kc, vc,
+                            qt_buf, ot_buf, m_scr, l_scr,
+                            copy_sems, q_base, kv_off, is_first,
+                            causal=causal, block_q=block_q,
+                            block_k=block_k, nqt=nqt, Hq=Hq, nk=nk,
+                            dtype=dtype,
+                        )
+
+    # ---- last step: normalize every q-tile from the running state ----
+    # A separate pass, NOT fused into the chunk merge: under causal skipping
+    # the last chunk is above the diagonal for every device but the ring's
+    # tail, so a merge-fused epilogue would never run there.
+    @pl.when(s == n_dev - 1)
+    def _normalize():
+        for b in range(B):
+            for h in range(Hq):
+                for qt in range(nqt):
+                    _finalize_tile(
+                        b, h, qt, o_hbm, lse_hbm, ot_buf, lse_buf,
+                        m_scr, l_scr, copy_sems,
+                        block_q=block_q, nqt=nqt, Hq=Hq)
+
+    if n_dev > 1:
+        # ---- close the step: drain send, free our slot, await recv ----
+        @pl.when(s < n_dev - 1)
+        def _recv():
+            rdma = _rdma()
+            rdma.wait_send()
+
+            # freeing slot[s%2] enables left's send at step s+1; left's last
+            # send is step n_dev-2, so the signal at the end of that step
+            # would never be consumed — skip it (semaphores must balance at
+            # kernel exit or they poison the next collective launch).
+            @pl.when(s < n_dev - 2)
+            def _free_slot():
+                pltpu.semaphore_signal(
+                    cap_sem, inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+            rdma.wait_recv()
+
+
+def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
+                m_scr, l_scr, copy_sems, q_base, kv_off, is_first,
+                *, causal, block_q, block_k, nqt, Hq, nk, dtype):
+    """One (b, h, q-tile): chunk-local online softmax over the KV tiles in
+    VMEM, then a single LSE-style merge into the persistent running state
+    (m, l in VMEM scratch; unnormalized O in HBM)."""
+    idx = (b * Hq + h) * nqt + qt
+    rows = qt * block_q
+
+    cq = pltpu.make_async_copy(
+        q_hbm.at[b, h, pl.ds(rows, block_q), :], qt_buf, copy_sems.at[2])
+    cq.start()
+    cq.wait()
+    q = qt_buf[...]
+
+    row_ids = (q_base + rows
+               + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
+
+    m_c = jnp.full((block_q, 1), DEFAULT_MASK_VALUE, jnp.float32)
+    l_c = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+    for j in range(nk // block_k):
+        k_j = kc[pl.ds(j * block_k, block_k), :]
+        sc = jax.lax.dot_general(
+            q, k_j, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if causal:
+            col_ids = (kv_off + j * block_k
+                       + jax.lax.broadcasted_iota(
+                           jnp.int32, (block_q, block_k), 1))
+            sc = jnp.where(col_ids <= row_ids, sc, DEFAULT_MASK_VALUE)
+        m_new = jnp.maximum(m_c, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp2(sc - m_new)
+        alpha = jnp.exp2(m_c - m_new)
+        v_j = vc[pl.ds(j * block_k, block_k), :]
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(dtype), v_j, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        l_c = l_c * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_c = m_new
+
+    # ---- merge the chunk partial into the running state ----
+    o_slice = o_hbm.at[b, h, pl.ds(rows, block_q), :]
+
+    # Initialize BEFORE reading the running state: scratch and the HBM
+    # accumulator hold uninitialized memory at step 0 (NaN under the
+    # interpreter's uninitialized_memory='nan' — and NaN * 0 = NaN).
+    @pl.when(is_first)
+    def _init_state():
+        m_scr[idx, :, :] = jnp.full((block_q, 1), DEFAULT_MASK_VALUE,
+                                    jnp.float32)
+        l_scr[idx, :, :] = jnp.zeros((block_q, 1), jnp.float32)
+        ot_buf[...] = jnp.zeros_like(ot_buf)
+
+    @pl.when(jnp.logical_not(is_first))
+    def _read_prev():
+        co = pltpu.make_async_copy(o_slice, ot_buf, copy_sems.at[3])
+        co.start()
+        co.wait()
+
+    m_run = m_scr[idx, :, :]
+    l_run = l_scr[idx, :, :]
+    m_new = jnp.maximum(m_run, m_c)
+    # fully-masked partials carry no mass; drop them instead of exp2(0)=1
+    a_run = jnp.where(m_run <= _NEG_GUARD, 0.0, jnp.exp2(m_run - m_new))
+    a_c = jnp.where(m_c <= _NEG_GUARD, 0.0, jnp.exp2(m_c - m_new))
+    l_new = l_run * a_run + l_c * a_c
+    o_new = ot_buf[...] * a_run + acc * a_c
+
+    ot_buf[...] = o_new
+    m_scr[idx, :, :] = m_new
+    l_scr[idx, :, :] = l_new
+    co = pltpu.make_async_copy(ot_buf, o_slice, copy_sems.at[3])
+    co.start()
+    co.wait()
+
+
+def _finalize_tile(b, h, qt, o_hbm, lse_hbm, ot_buf, lse_buf, m_scr, l_scr,
+                   copy_sems, *, block_q, nqt, Hq):
+    """Normalize one (b, h, q-tile): O /= l, emit L = m + log l (natural)."""
+    idx = (b * Hq + h) * nqt + qt
+    rows = qt * block_q
+    o_slice = o_hbm.at[b, h, pl.ds(rows, block_q), :]
+
+    co = pltpu.make_async_copy(o_slice, ot_buf, copy_sems.at[3])
+    co.start()
+    co.wait()
+    m_run = m_scr[idx, :, :]
+    l_run = l_scr[idx, :, :]
+    alive = l_run > 0.0
+    safe_l = jnp.where(alive, l_run, 1.0)
+    ot_buf[...] = jnp.where(alive, ot_buf[...] / safe_l, 0.0)
+    lse_buf[...] = jnp.where(alive, (m_run + jnp.log2(safe_l)) * LN2,
+                             -jnp.inf)
+    co = pltpu.make_async_copy(ot_buf, o_slice, copy_sems.at[3])
+    cl = pltpu.make_async_copy(
+        lse_buf, lse_hbm.at[b, h, pl.ds(rows, block_q), :],
+        copy_sems.at[2])
+    co.start()
+    cl.start()
+    co.wait()
+    cl.wait()
+
+
+def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
+                          block_q, block_k, interpret_params=None):
+    """Launch the ring kernel on local chunks (inside shard_map).
+
+    Returns (o f32, lse f32 natural-log). q/k/v: [B, H(,kv), n, D_pad],
+    n multiples of the block sizes, D lane-padded.
+    """
+    B, Hq, nq, D = q.shape
+    Hkv, nk = k.shape[1], k.shape[2]
+    nqt = nq // block_q
+    dtype = q.dtype
+
+    kern = functools.partial(
+        _ring_fwd_kernel, axis_name=axis_name, n_dev=n_dev, causal=causal,
+        block_q=block_q, block_k=block_k,
+    )
+    if interpret_params is None:
+        interpret = (pltpu.InterpretParams()
+                     if platform.pallas_interpret_default() else False)
+    else:
+        interpret = interpret_params
+
+    o, lse, _ = pl.pallas_call(
+        kern,
+        grid=(n_dev,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, nq, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((2, 2, B, Hkv, nk, D), dtype),  # kv_slots
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), dtype),              # qt_buf
+            pltpu.VMEM((nk, D), dtype),                   # kc
+            pltpu.VMEM((nk, D), dtype),                   # vc
+            pltpu.VMEM((block_q, D), jnp.float32),        # ot_buf
+            pltpu.VMEM((block_q, 1), jnp.float32),        # lse_buf
+            pltpu.VMEM((B * Hq * nqt, block_q, 1), jnp.float32),  # m_scr
+            pltpu.VMEM((B * Hq * nqt, block_q, 1), jnp.float32),  # l_scr
+            pltpu.SemaphoreType.DMA((4,)),   # local copies
+            pltpu.SemaphoreType.DMA(()),     # send
+            pltpu.SemaphoreType.DMA((2,)),   # recv, one per landing slot
+            pltpu.SemaphoreType.REGULAR,     # capacity handshake
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+            collective_id=1,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse[..., 0]
+
+
+def _block_sizes(nq: int, nk: int) -> tuple[int, int]:
+    bq = min(512, nq)
+    bk = min(512, nk)
+    return bq, bk
+
+
+def supported(nq: int, nk: int, d: int, window) -> bool:
+    """Static eligibility of the kernel route for local chunk shapes."""
+    bq, bk = _block_sizes(nq, nk)
+    return (window is None and nq % bq == 0 and nk % bk == 0
+            and nq % 128 == 0 and nk % 128 == 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_kernel_core(q, k, v, axis_name, n_dev, causal, scale):
+    return _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale)[0]
+
+
+def _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale):
+    B, Hq, nq, D = q.shape
+    dp = _pad_head_dim(D)
+    bq, bk = _block_sizes(nq, k.shape[2])
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    if dp != D:
+        pad = [(0, 0)] * 3 + [(0, dp - D)]
+        qs = jnp.pad(qs, pad)
+        kp = jnp.pad(k, pad)
+        vp = jnp.pad(v, pad)
+    else:
+        kp, vp = k, v
+    o, lse = _ring_kernel_fwd_call(qs, kp, vp, axis_name, n_dev, causal,
+                                   scale, bq, bk)
+    o = o[..., :D].astype(q.dtype)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_kernel_bwd(axis_name, n_dev, causal, scale, residuals, g):
+    # gradient path: the ppermute ring backward (numerically pinned there)
+    from flashattn_tpu.parallel import ring as _ring
+
+    return _ring._ring_core_bwd(
+        axis_name, n_dev, causal, scale, None, residuals, g)
+
+
+_ring_kernel_core.defvjp(_ring_kernel_fwd, _ring_kernel_bwd)
+
+
+def ring_attention_kernel(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    axis_size: int,
+    causal: bool = False,
+    scale: float | None = None,
+) -> jax.Array:
+    """In-kernel ring attention on local chunks (call inside ``shard_map``).
+
+    Same contract as :func:`flashattn_tpu.parallel.ring.ring_attention`
+    (sequence-sharded q/k/v ``[B, H, N/P, D]``; GQA supported; differentiable
+    — backward runs the ppermute ring) but the forward rotates KV via remote
+    DMAs issued inside one Pallas kernel, structurally overlapped with the
+    per-tile compute.
+    """
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    kdt = _dispatch_dtype(q.dtype)
+    in_dtype = q.dtype
+    if not supported(q.shape[2], k.shape[2], q.shape[3], None):
+        raise ValueError(
+            f"ring kernel route needs 128-aligned local chunks, got "
+            f"nq={q.shape[2]} nk={k.shape[2]}; use impl='xla'")
+    o = _ring_kernel_core(
+        q.astype(kdt), k.astype(kdt), v.astype(kdt),
+        axis_name, int(axis_size), bool(causal), float(scale),
+    )
+    return o.astype(in_dtype)
+
+
+def ring_attention_kernel_sharded(
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+    batch_axis: str | None = "data",
+    head_axis: str | None = "model",
+    causal: bool = False,
+    scale: float | None = None,
+    interpret_params=None,
+):
+    """Jitted global-shape entry point for the in-kernel ring (the
+    ``impl="kernel"`` twin of ``ring.ring_attention_sharded``).
+
+    ``interpret_params``: optional ``pltpu.InterpretParams`` override —
+    tests pass ``InterpretParams(detect_races=True)`` to run the Mosaic
+    interpreter's cross-device race detector over the RDMA schedule.
+    """
+    n = mesh.shape[axis]
+    spec = P(batch_axis, head_axis, axis, None)
+
+    def local(q, k, v):
+        if interpret_params is None:
+            return ring_attention_kernel(
+                q, k, v, axis_name=axis, axis_size=n, causal=causal,
+                scale=scale)
+        # test hook: forward-only launch with explicit interpret params
+        if scale is None:
+            sc = float(q.shape[-1]) ** -0.5
+        else:
+            sc = scale
+        kdt = _dispatch_dtype(q.dtype)
+        bq, bk = _block_sizes(q.shape[2], k.shape[2])
+        qs = (q.astype(jnp.float32) * (sc * LOG2E)).astype(kdt)
+        o, _ = _ring_kernel_fwd_call(
+            qs, k.astype(kdt), v.astype(kdt), axis, n, causal, sc, bq, bk,
+            interpret_params=interpret_params)
+        return o.astype(q.dtype)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -80,3 +80,43 @@ def enable_compilation_cache(
     except Exception:
         return None
     return cache_dir
+
+
+_io_callback_patched = False
+
+
+def patch_io_callback_inline() -> None:
+    """Make ``jax.io_callback`` read its operands in place on CPU backends.
+
+    The Mosaic-TPU interpreter runs each virtual device's kernel inside an
+    ``io_callback`` whose default impl round-trips every operand through
+    ``device_put(args, cpu:0)``. Interpreted kernels BLOCK inside their
+    callbacks (semaphore waits, RDMA handshakes), and on hosts with few
+    cores all such transfers funnel into cpu:0's wedged execution queue —
+    a guaranteed deadlock for any cross-device kernel (e.g. the RDMA ring
+    in parallel/ring_kernel.py) interpreted on >2 virtual devices.
+
+    On the CPU backend the FFI already hands the callback host buffers, so
+    the round-trip is pure overhead; this patch replaces it with
+    ``np.asarray`` views. Only used by multi-device interpret-mode tests;
+    never active on real TPU runs (callbacks there are host-side only).
+    """
+    global _io_callback_patched
+    if _io_callback_patched:
+        return
+    if backend() != "cpu":
+        raise RuntimeError(
+            "patch_io_callback_inline is a CPU-interpret-test workaround; "
+            f"backend is {backend()!r}")
+
+    import numpy as np
+    from jax._src import callback as _cb
+    from jax._src import tree_util as _tu
+
+    def _impl_inline(*args, result_avals, callback, sharding, ordered):
+        del result_avals, sharding, ordered
+        args = tuple(np.asarray(a) for a in args)
+        return _tu.tree_map(np.asarray, callback(*args))
+
+    _cb.io_callback_impl = _impl_inline
+    _io_callback_patched = True

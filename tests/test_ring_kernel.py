@@ -1,0 +1,98 @@
+"""In-kernel RDMA ring attention vs the oracle, on the 8-device virtual mesh.
+
+These tests interpret the Pallas kernel with the Mosaic-TPU interpreter
+(``pltpu.InterpretParams``), which models the cross-device RDMA/semaphore
+schedule — including its race detector. This is the repo's "race detection"
+practice (SURVEY.md §5): the reference has no sanitizer at all (its backward
+dQ accumulation races in the wild, kernel_fp16.cu:736); here the RDMA ring's
+handshake is machine-checked before it ever runs on hardware.
+
+The interpreter runs each virtual device in a blocking host callback, so
+multi-device runs need the io_callback inline patch (see
+platform.patch_io_callback_inline) to not starve the host's thread pool.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattn_tpu.ops.oracle import attention_reference
+from flashattn_tpu.parallel.ring_kernel import (
+    ring_attention_kernel,
+    ring_attention_kernel_sharded,
+)
+from flashattn_tpu.utils import platform
+from flashattn_tpu.utils.testing import BWD_TOL, FWD_TOL, assert_close, make_qkv
+
+
+def _mesh(n):
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode test (CPU virtual mesh only)")
+    if jax.device_count() < n:
+        pytest.skip(f"needs {n} devices")
+    platform.patch_io_callback_inline()
+    return Mesh(np.array(jax.devices()[:n]), axis_names=("seq",))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_kernel_matches_oracle(causal):
+    mesh = _mesh(4)
+    q, k, v = make_qkv(jax.random.PRNGKey(0), 1, 2, 4 * 128, 128)
+    fn = ring_attention_kernel_sharded(
+        mesh, axis="seq", batch_axis=None, head_axis=None, causal=causal,
+        interpret_params=pltpu.InterpretParams(detect_races=True))
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v, causal=causal)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+@pytest.mark.slow
+def test_ring_kernel_gqa_bf16_8dev():
+    mesh = _mesh(8)
+    q, k, v = make_qkv(jax.random.PRNGKey(7), 1, 4, 8 * 128, 128, Hkv=2,
+                       dtype=jnp.bfloat16)
+    fn = ring_attention_kernel_sharded(
+        mesh, axis="seq", batch_axis=None, head_axis=None, causal=True,
+        interpret_params=pltpu.InterpretParams(detect_races=True))
+    got = fn(q, k, v)
+    kr = jnp.repeat(k, 2, axis=1)
+    vr = jnp.repeat(v, 2, axis=1)
+    want = attention_reference(q, kr, vr, causal=True)
+    assert_close(got, want, FWD_TOL[jnp.bfloat16.dtype])
+
+
+def test_ring_kernel_grads():
+    # backward runs the ppermute ring (ring.py) via custom_vjp
+    mesh = _mesh(2)
+    q, k, v = make_qkv(jax.random.PRNGKey(3), 1, 2, 2 * 128, 128)
+
+    def loss_kernel(q, k, v):
+        o = ring_attention_kernel(
+            q, k, v, axis_name="seq", axis_size=2, causal=True)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, causal=True)
+        return jnp.sum(o * o)
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, None, "seq", None)
+    grads = jax.jit(jax.shard_map(
+        jax.grad(loss_kernel, argnums=(0, 1, 2)), mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=(spec, spec, spec),
+        check_vma=False,
+    ))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(grads, want):
+        assert_close(g, w, BWD_TOL[jnp.float32.dtype])
+
+
+def test_ring_kernel_rejects_unaligned():
+    with pytest.raises(ValueError, match="128-aligned"):
+        ring_attention_kernel(
+            jnp.zeros((1, 1, 100, 64)), jnp.zeros((1, 1, 100, 64)),
+            jnp.zeros((1, 1, 100, 64)), axis_name="seq", axis_size=2)
