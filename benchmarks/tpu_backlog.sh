@@ -99,6 +99,12 @@ retry_run 5400 env FLASHATTN_TPU_TEST_BACKEND=tpu python -m pytest \
   2>&1 | tee "$LOGD/tpu_pytest.log"
 [ "$STOP" = tests ] && exit 0
 
+# 4a. In-kernel RDMA ring: 1-chip Mosaic compile + numerics gate (cross-
+#     device RDMA itself is interpret-validated; tests/test_ring_kernel.py).
+step "ring kernel spot"
+retry_run 1800 python benchmarks/spot_ring_kernel.py 2>&1 \
+  | tee "$LOGD/spot_ring_kernel.log"
+
 # 4b. Device traces: fused fwd/bwd kernels + the degenerate 1-chip ring
 #     step (the ring-overlap schedule artifact — VERDICT r1 item 4).
 step "trace capture"
