@@ -14,6 +14,12 @@ from flashattn_tpu.parallel.ring_kernel import (
     ring_attention_kernel_sharded,
 )
 from flashattn_tpu.parallel.ulysses import ulysses_attention
+from flashattn_tpu.parallel.zigzag import (
+    zigzag_ring_attention,
+    zigzag_ring_attention_sharded,
+    zigzag_shard,
+    zigzag_unshard,
+)
 
 __all__ = [
     "make_mesh",
@@ -23,4 +29,8 @@ __all__ = [
     "ring_attention_kernel",
     "ring_attention_kernel_sharded",
     "ulysses_attention",
+    "zigzag_ring_attention",
+    "zigzag_ring_attention_sharded",
+    "zigzag_shard",
+    "zigzag_unshard",
 ]
