@@ -31,6 +31,7 @@ from flashattn_tpu.ops.quant import (
     QuantizedKV, flash_attention_quantized, quantize_kv,
 )
 from flashattn_tpu.parallel.ring import ring_attention
+from flashattn_tpu.parallel.zigzag import zigzag_order, zigzag_ring_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -277,22 +278,41 @@ def shard_params_leaf_rules(cfg: TransformerConfig):
     }
 
 
-def _local_forward_sharded(params, tokens, cfg, mesh_shape, *, interpret):
+def _zigzag_positions(seq_idx, n_local, sp):
+    """Global positions of a device's zigzag-layout local rows: natural
+    chunks (d, 2·sp−1−d) of length n_local/2 concatenated."""
+    c = n_local // 2
+    return jnp.concatenate([jnp.arange(c) + seq_idx * c,
+                            jnp.arange(c) + (2 * sp - 1 - seq_idx) * c])
+
+
+def _local_forward_sharded(params, tokens, cfg, mesh_shape, *, interpret,
+                           zigzag=False):
     """Per-shard forward: params carry local (tp-sharded) head/ff slices;
-    tokens are the local [B/dp, N/sp] chunk. Ring attention over 'seq'."""
+    tokens are the local [B/dp, N/sp] chunk. Ring attention over 'seq' —
+    plain (contiguous layout) or zigzag (causally load-balanced layout;
+    RoPE positions follow the layout so the math is identical)."""
     sp = mesh_shape["seq"]
     seq_idx = jax.lax.axis_index("seq")
     B, N = tokens.shape
-    pos0 = seq_idx * N
-    positions = jnp.broadcast_to(jnp.arange(N)[None] + pos0, (B, N))
+    if zigzag:
+        positions = jnp.broadcast_to(
+            _zigzag_positions(seq_idx, N, sp)[None], (B, N))
+    else:
+        pos0 = seq_idx * N
+        positions = jnp.broadcast_to(jnp.arange(N)[None] + pos0, (B, N))
     x = params["embed"][tokens]
 
     def attn(q, k, v):
         # [B, N/sp, Hloc, D] -> BHND for the ring
         qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        o = ring_attention(
-            qh, kh, vh, axis_name="seq", axis_size=sp, causal=True
-        )
+        if zigzag:
+            o = zigzag_ring_attention(
+                qh, kh, vh, axis_name="seq", axis_size=sp)
+        else:
+            o = ring_attention(
+                qh, kh, vh, axis_name="seq", axis_size=sp, causal=True
+            )
         return o.transpose(0, 2, 1, 3)
 
     for layer in params["layers"]:
@@ -357,7 +377,7 @@ def adamw_update(grads, state, params, *, lr=1e-3, b1=0.9, b2=0.999,
 
 
 def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
-                            interpret=None):
+                            interpret=None, seq_layout="contiguous"):
     """Build ``(params, opt_state, tokens) -> (params, opt_state, loss)``
     jitted over a (data, model, seq) mesh.
 
@@ -369,8 +389,19 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
         KV over ICI; grads of replicated params psum'd across it.
     PP/EP: N/A for this model family (reference has no pipeline/MoE;
     SURVEY.md §2.5 documents them as out of scope).
+
+    ``seq_layout``: "contiguous" (default) or "zigzag" — the causally
+    load-balanced layout (parallel/zigzag.py). Tokens are still passed in
+    natural order; the step permutes them once on the way in. RoPE
+    positions, attention masks, and the next-token loss all follow the
+    layout, so the loss is identical to the contiguous one — only the
+    per-device work distribution changes.
     """
     from jax.sharding import PartitionSpec as P
+
+    if seq_layout not in ("contiguous", "zigzag"):
+        raise ValueError(f"unknown seq_layout {seq_layout!r}")
+    zz = seq_layout == "zigzag"
 
     mesh_shape = dict(mesh.shape)
     rules = shard_params_leaf_rules(cfg)
@@ -395,22 +426,46 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
         sp = mesh_shape["seq"]
         B, nloc = tokens.shape
         logits = _local_forward_sharded(
-            params, tokens, cfg, mesh_shape, interpret=interpret
+            params, tokens, cfg, mesh_shape, interpret=interpret, zigzag=zz
         )
         # Next-token targets with a one-token halo: the target of each
         # shard's last position is the NEXT shard's first token (ppermute),
         # so the sp>1 loss equals the sp=1 loss exactly; the global final
         # position (whose halo wrapped around the ring) is masked out.
-        if sp > 1:
-            nxt = jax.lax.ppermute(
-                tokens[:, :1], "seq", [(i, (i - 1) % sp) for i in range(sp)])
+        seq_idx = jax.lax.axis_index("seq")
+        if zz:
+            # Two halos, one per zigzag half: lo (natural chunk d) is
+            # followed by chunk d+1 = device d+1's lo half — except the
+            # last device, whose lo chunk sp−1 is followed by its OWN hi
+            # half (chunk sp). hi (chunk 2sp−1−d) is followed by chunk
+            # 2sp−d = device d−1's hi half; device 0's hi is the global
+            # tail, masked below.
+            c = nloc // 2
+            lo, hi = tokens[:, :c], tokens[:, c:]
+            if sp > 1:
+                nxt_lo = jax.lax.ppermute(
+                    lo[:, :1], "seq",
+                    [(i, (i - 1) % sp) for i in range(sp)])
+                nxt_hi = jax.lax.ppermute(
+                    hi[:, :1], "seq",
+                    [(i, (i + 1) % sp) for i in range(sp)])
+            else:
+                nxt_lo = nxt_hi = hi[:, :1]
+            nxt_lo = jnp.where(seq_idx == sp - 1, hi[:, :1], nxt_lo)
+            targets = jnp.concatenate(
+                [lo[:, 1:], nxt_lo, hi[:, 1:], nxt_hi], axis=1)
+            gpos = _zigzag_positions(seq_idx, nloc, sp)[None]
         else:
-            nxt = tokens[:, :1]
-        targets = jnp.concatenate([tokens[:, 1:], nxt], axis=1)
+            if sp > 1:
+                nxt = jax.lax.ppermute(
+                    tokens[:, :1], "seq",
+                    [(i, (i - 1) % sp) for i in range(sp)])
+            else:
+                nxt = tokens[:, :1]
+            targets = jnp.concatenate([tokens[:, 1:], nxt], axis=1)
+            gpos = seq_idx * nloc + jnp.arange(nloc)[None]
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        seq_idx = jax.lax.axis_index("seq")
-        gpos = seq_idx * nloc + jnp.arange(nloc)[None]
         valid = jnp.broadcast_to(gpos < sp * nloc - 1, ll.shape)
         # mean over the global batch x (seq-1) (psum over data+seq shards)
         loss_sum = jax.lax.psum(jnp.sum(jnp.where(valid, -ll, 0.0)),
@@ -447,4 +502,13 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
         out_specs=(pspecs, opt_specs, P()),
         check_vma=False,
     )
+    if zz:
+        sp = mesh_shape["seq"]
+
+        def run(params, opt_state, tokens):
+            # natural order in; one gather into the zigzag layout
+            return mapped(params, opt_state,
+                          tokens[:, zigzag_order(tokens.shape[1], sp)])
+
+        return jax.jit(run), pspecs, opt_specs
     return jax.jit(mapped), pspecs, opt_specs

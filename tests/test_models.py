@@ -126,6 +126,37 @@ def test_sharded_seq_loss_matches_single_device(lm_params):
     assert abs(float(loss) - float(want)) < 2e-3, (float(loss), float(want))
 
 
+def test_zigzag_seq_loss_matches_single_device(lm_params):
+    """seq_layout='zigzag' (causally load-balanced SP) must reproduce the
+    single-device loss exactly: RoPE positions, attention, and the two-halo
+    next-token targets all follow the permuted layout."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(data=1, model=1, seq=4)
+    step, _, _ = make_sharded_train_step(mesh, CFG, lr=0.0,
+                                         seq_layout="zigzag")
+    opt = adamw_init(lm_params)
+    toks = jax.random.randint(jax.random.PRNGKey(5), (2, 64), 0, 128)
+    _, _, loss = step(lm_params, opt, toks)
+    want = lm_loss(lm_params, toks, CFG)
+    assert abs(float(loss) - float(want)) < 2e-3, (float(loss), float(want))
+
+
+def test_zigzag_train_step_learns(lm_params):
+    """zigzag layout trains end-to-end (params update, loss decreases)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(data=2, model=2, seq=2)
+    step, _, _ = make_sharded_train_step(mesh, CFG, lr=1e-3,
+                                         seq_layout="zigzag")
+    opt = adamw_init(lm_params)
+    toks = jax.random.randint(jax.random.PRNGKey(3), (4, 256), 0, 128)
+    params, opt, loss0 = step(lm_params, opt, toks)
+    for _ in range(3):
+        params, opt, loss = step(params, opt, toks)
+    assert float(loss) < float(loss0)
+
+
 def test_multislice_train_step_matches_single_device(lm_params):
     """2-level (slice x chip) mesh: slice axis outermost (DCN role), used
     only for batch DP / gradient psum — loss must equal single-device
