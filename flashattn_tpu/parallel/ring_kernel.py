@@ -234,6 +234,10 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
     row_ids = (q_base + rows
                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0))
 
+    # f32 inputs: MXU demotes f32 dot operands to bf16 by default — request
+    # full-precision matmuls (same trap as flash_fwd.py, found on-chip r1).
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
     m_c = jnp.full((block_q, 1), DEFAULT_MASK_VALUE, jnp.float32)
     l_c = jnp.zeros((block_q, 1), jnp.float32)
     acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
@@ -241,7 +245,7 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
         k_j = kc[pl.ds(j * block_k, block_k), :]
         sc = jax.lax.dot_general(
             q, k_j, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
         if causal:
             col_ids = (kv_off + j * block_k
                        + jax.lax.broadcasted_iota(
@@ -253,7 +257,7 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
         v_j = vc[pl.ds(j * block_k, block_k), :]
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(dtype), v_j, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
         l_c = l_c * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_c = m_new
 
@@ -450,6 +454,9 @@ def ring_attention_kernel(
         raise ValueError(
             f"ring kernel route needs 128-aligned local chunks, got "
             f"nq={q.shape[2]} nk={k.shape[2]}; use impl='xla'")
+    if q.shape[1] % k.shape[1]:
+        raise ValueError(
+            f"Hq={q.shape[1]} must be a multiple of Hkv={k.shape[1]}")
     o = _ring_kernel_core(
         q.astype(kdt), k.astype(kdt), v.astype(kdt),
         axis_name, int(axis_size), bool(causal), float(scale),
