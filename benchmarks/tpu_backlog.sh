@@ -50,6 +50,11 @@ retry_run_out() {
 step "spot_resident"
 retry_run 2400 python benchmarks/spot_resident.py 2>&1 \
   | tee "$LOGD/spot_resident.log"
+
+# 1b. Packed-sequence (segment_ids) Mosaic compile + numerics gate.
+step "spot_segments"
+retry_run 1800 python benchmarks/spot_segments.py 2>&1 \
+  | tee "$LOGD/spot_segments.log"
 [ "$STOP" = spot ] && exit 0
 
 # 2. Refresh every committed sweep (committed causal jsonl still hold

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flashattn_tpu.ops import flash_bwd, flash_fwd
 
 NUM_LANES = 128
+NUM_SUBLANES = flash_fwd.NUM_SUBLANES
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,24 +237,44 @@ def _from_bhnd(x, layout):
 # ─────────────────────────── custom_vjp core ────────────────────────────────
 # Differentiable in (q, k, v, bias); config is static. Operates in canonical
 # [B,H,N,D] on the *original* (unpadded) shapes; padding happens inside so the
-# cotangents come back at original shapes automatically.
+# cotangents come back at original shapes automatically. seg_q/seg_kv are
+# integer packed-sequence ids ([B,Nq]/[B,Nk] or None) — regular (non-diff-
+# type) args whose cotangent is float0, like ``offsets``.
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
 )
-def _flash_core(q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len,
-                interpret, window, static_offsets):
+def _flash_core(q, k, v, bias, offsets, seg_q, seg_kv, scale, causal, blocks,
+                kv_valid_len, interpret, window, static_offsets):
     o, _ = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
         return_lse=False, window=window, static_offsets=static_offsets,
+        seg_q=seg_q, seg_kv=seg_kv,
     )
     return o
 
 
+def _seg_tiles(seg_q, seg_kv, nqp, nkp):
+    """Pad packed-sequence ids to the launch geometry and replicate them into
+    the Mosaic-friendly int32 tilings: q ids lane-replicated
+    ``[B, nqp, NUM_LANES]``, kv ids sublane-replicated
+    ``[B, NUM_SUBLANES, nkp]``. Padding uses distinct sentinels (-1 / -2) so
+    padded rows/cols never match anything (ids are documented >= 0)."""
+    B, Nq = seg_q.shape
+    Nk = seg_kv.shape[1]
+    sq = jnp.pad(seg_q.astype(jnp.int32), ((0, 0), (0, nqp - Nq)),
+                 constant_values=-1)
+    skv = jnp.pad(seg_kv.astype(jnp.int32), ((0, 0), (0, nkp - Nk)),
+                  constant_values=-2)
+    sq_rep = jax.lax.broadcast_in_dim(sq, (B, nqp, NUM_LANES), (0, 1))
+    skv_rep = jax.lax.broadcast_in_dim(skv, (B, NUM_SUBLANES, nkp), (0, 2))
+    return sq_rep, skv_rep
+
+
 def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
                          kv_valid_len, interpret, *, return_lse, window=None,
-                         static_offsets=None):
+                         static_offsets=None, seg_q=None, seg_kv=None):
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
     bq, bk = blocks.block_q, blocks.block_k
@@ -270,7 +291,7 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
                 causal=causal, window=window, need_tail_mask=Nk != nr,
                 bias=bias, k_scale=None, v_scale=None,
                 static_offsets=static_offsets,
-                Nqp=nr, Nkp=nr, D=D, sub_q=sq, sub_k=sk):
+                Nqp=nr, Nkp=nr, D=D, sub_q=sq, sub_k=sk, seg=seg_q):
             nqp = nkp = nr
             bq = bk = flash_fwd._RC_SUB_Q
     dp = _pad_head_dim(D)
@@ -283,9 +304,12 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
         bp = _pad_axis(_pad_axis(bias, 2, nqp if bias.shape[2] > 1 else 1), 3, nkp)
         if bp.shape[2] == 1:
             bp = jnp.broadcast_to(bp, (bp.shape[0], bp.shape[1], nqp, nkp))
+    sq_rep = skv_rep = None
+    if seg_q is not None:
+        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
 
     o, lse = flash_fwd.fwd_padded(
-        qp, kp, vp, bp, offsets,
+        qp, kp, vp, bp, offsets, None, None, sq_rep, skv_rep,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=kv_valid_len, return_lse=return_lse,
         num_heads_q=Hq, interpret=interpret, window=window,
@@ -303,18 +327,19 @@ def _int_zero_cotangent(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _flash_core_fwd(q, k, v, bias, offsets, scale, causal, blocks,
-                    kv_valid_len, interpret, window, static_offsets):
+def _flash_core_fwd(q, k, v, bias, offsets, seg_q, seg_kv, scale, causal,
+                    blocks, kv_valid_len, interpret, window, static_offsets):
     o, lse = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
         return_lse=True, window=window, static_offsets=static_offsets,
+        seg_q=seg_q, seg_kv=seg_kv,
     )
-    return o, (q, k, v, bias, offsets, o, lse)
+    return o, (q, k, v, bias, offsets, seg_q, seg_kv, o, lse)
 
 
 def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
                     static_offsets, residuals, g):
-    q, k, v, bias, offsets, o, lse = residuals
+    q, k, v, bias, offsets, seg_q, seg_kv, o, lse = residuals
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
 
@@ -337,7 +362,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     bk_f = max(128, min(1024, _round_up(Nk, 128)))
     nqp_f = _round_up(Nq, bq_f)
     use_fused = (
-        bias is None and static_offsets is not None
+        bias is None and seg_q is None and static_offsets is not None
         and nqp_f * dp_ * 4 <= 32 * 1024 * 1024
     )
     if use_fused:
@@ -367,7 +392,8 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         if rep > 1:
             dk = dk.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(k.dtype)
             dv = dv.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(v.dtype)
-        return dq, dk, dv, None, _int_zero_cotangent(offsets)
+        return (dq, dk, dv, None, _int_zero_cotangent(offsets),
+                None, None)
 
     bq_dkv, bk_dkv = blocks.block_q_dkv, blocks.block_k_dkv
     bq_dq, bk_dq = blocks.block_q_dq, blocks.block_k_dq
@@ -393,8 +419,12 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         _pad_axis(delta, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
     )
     bp = _pad_bias(bias, nqp, nkp)
+    sq_rep = skv_rep = None
+    if seg_q is not None:
+        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
     dk, dv = flash_bwd.dkv_padded(
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
+        sq_rep, skv_rep,
         scale=scale, causal=causal, block_q=bq_dkv, block_k=bk_dkv,
         kv_valid_len=kv_valid_len, interpret=interpret, window=window,
         static_offsets=static_offsets,
@@ -419,8 +449,12 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         _pad_axis(delta, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
     )
     bp = _pad_bias(bias, nqp, nkp)
+    sq_rep = skv_rep = None
+    if seg_q is not None:
+        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
     dq, dbias_full = flash_bwd.dq_padded(
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
+        sq_rep, skv_rep,
         scale=scale, causal=causal, block_q=bq_dq, block_k=bk_dq,
         kv_valid_len=kv_valid_len, want_dbias=want_dbias, interpret=interpret,
         window=window, static_offsets=static_offsets,
@@ -439,7 +473,11 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
             dbias = dbias.sum(axis=2, keepdims=True)
         dbias = dbias.astype(bias.dtype)
 
-    return dq, dk, dv, dbias, _int_zero_cotangent(offsets)
+    def _seg_ct(s):
+        return None if s is None else _int_zero_cotangent(s)
+
+    return (dq, dk, dv, dbias, _int_zero_cotangent(offsets),
+            _seg_ct(seg_q), _seg_ct(seg_kv))
 
 
 def _pad_bias(bias, nqp, nkp):
@@ -472,6 +510,7 @@ def flash_attention(
     q_offset: jax.Array | int = 0,
     kv_offset: jax.Array | int = 0,
     window: tuple[int, int] | None = None,
+    segment_ids=None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused FlashAttention-2, differentiable, arbitrary shapes.
@@ -493,6 +532,14 @@ def flash_attention(
         side (Mistral-style local attention is ``window=(w-1, 0)`` or
         ``causal=True, window=(w-1, -1)``). Whole out-of-window tiles are
         skipped, so cost scales with the window, not N².
+      segment_ids: packed-sequence (varlen) masking — pair (i, j) attends iff
+        ``seg_q[i] == seg_kv[j]`` (AND-composed with causal/window). Either a
+        single ``[B, N]`` int array (self-attention, Nq == Nk) or a tuple
+        ``(q_ids [B, Nq], kv_ids [B, Nk])``. Ids must be >= 0 (negatives are
+        reserved padding sentinels); a q row whose id matches no kv token
+        outputs zeros and receives zero gradients. This is the feature the
+        reference lacks entirely (its ``mask`` arg is dead, FlashAttn.py:49):
+        train on packed batches without O(N²) bias materialization.
       block_sizes: override the tile policy.
       interpret: force Pallas interpreter mode (None = auto: TPU compiles,
         CPU interprets).
@@ -520,13 +567,37 @@ def flash_attention(
         (int(q_offset), int(kv_offset))
         if isinstance(q_offset, int) and isinstance(kv_offset, int) else None
     )
+    seg_q, seg_kv = _normalize_segment_ids(segment_ids, q, k)
     o = _flash_core(
-        q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
-        k.shape[2], interpret,
+        q, k, v, bias, offsets, seg_q, seg_kv, float(scale), bool(causal),
+        block_sizes, k.shape[2], interpret,
         tuple(int(w) for w in window) if window is not None else None,
         static_offsets,
     )
     return _from_bhnd(o.astype(in_dtype), layout)
+
+
+def _normalize_segment_ids(segment_ids, q, k):
+    """Validate/split the public ``segment_ids`` arg into (q_ids, kv_ids)."""
+    if segment_ids is None:
+        return None, None
+    if isinstance(segment_ids, (tuple, list)):
+        seg_q, seg_kv = segment_ids
+    else:
+        if q.shape[2] != k.shape[2]:
+            raise ValueError(
+                "a single segment_ids array requires Nq == Nk; pass a "
+                f"(q_ids, kv_ids) tuple for Nq={q.shape[2]} Nk={k.shape[2]}")
+        seg_q = seg_kv = segment_ids
+    if not jnp.issubdtype(seg_q.dtype, jnp.integer):
+        raise ValueError(f"segment ids must be integers, got {seg_q.dtype}")
+    B, _, Nq, _ = q.shape
+    Nk = k.shape[2]
+    if seg_q.shape != (B, Nq) or seg_kv.shape != (B, Nk):
+        raise ValueError(
+            f"segment id shapes {seg_q.shape}/{seg_kv.shape} must be "
+            f"({B}, {Nq}) / ({B}, {Nk})")
+    return seg_q, seg_kv
 
 
 def flash_attention_with_lse(
@@ -542,6 +613,7 @@ def flash_attention_with_lse(
     q_offset: jax.Array | int = 0,
     kv_offset: jax.Array | int = 0,
     window: tuple[int, int] | None = None,
+    segment_ids=None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward-only fused attention returning ``(O, L)`` with
@@ -563,6 +635,7 @@ def flash_attention_with_lse(
     offsets = jnp.stack(
         [jnp.asarray(q_offset, jnp.int32), jnp.asarray(kv_offset, jnp.int32)]
     )
+    seg_q, seg_kv = _normalize_segment_ids(segment_ids, q, k)
     o, lse = _flash_core_fwd_impl(
         q, k, v, bias, offsets, float(scale), bool(causal), block_sizes,
         k.shape[2], interpret, return_lse=True,
@@ -572,6 +645,7 @@ def flash_attention_with_lse(
             if isinstance(q_offset, int) and isinstance(kv_offset, int)
             else None
         ),
+        seg_q=seg_q, seg_kv=seg_kv,
     )
     return _from_bhnd(o.astype(in_dtype), layout), lse
 

@@ -31,6 +31,7 @@ from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
 from flashattn_tpu.utils import platform
 
 NUM_LANES = 128
+NUM_SUBLANES = 8
 
 
 def _valid_split(n, block, align):
@@ -64,12 +65,18 @@ def _recompute_p_ds(
     q, k, v, do, lse, delta, bias_val, *,
     scale, causal, need_tail_mask, kv_valid_len,
     q_tile, kv_tile, block_q, block_k, q_off, kv_off,
-    window=None,
+    window=None, seg_q=None, seg_kv=None,
 ):
     """Shared recompute: returns (p, ds) as f32 (block_q, block_k).
 
     ``p = exp(S − L)`` is the true normalized probability
     (reference bwd kernel_fp16.cu:690-721); ``ds = p ∘ (dp − Δ)``.
+
+    ``seg_q``/``seg_kv`` (packed-sequence ids, lane-replicated
+    ``(block_q, NUM_LANES)`` / ``(1, block_k)``) extend the mask; entries
+    masked this way get ``p = exp(mask_value − lse) = 0`` exactly (f32
+    underflow), including fully-dead padding rows, whose stored LSE is
+    ``≈ LN2·mask_value > mask_value`` — so no dK/dV pollution is possible.
     """
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     s = jax.lax.dot_general(
@@ -81,13 +88,15 @@ def _recompute_p_ds(
         s += bias_val.astype(jnp.float32)
     wl, wr = window if window is not None else (-1, -1)
     has_window = wl >= 0 or wr >= 0
-    if causal or need_tail_mask or has_window:
-        col_pos = jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        ) + kv_tile * block_k
+    has_seg = seg_q is not None
+    if causal or need_tail_mask or has_window or has_seg:
         mask = None
-        if need_tail_mask:
-            mask = col_pos < kv_valid_len
+        if causal or has_window or need_tail_mask:
+            col_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            ) + kv_tile * block_k
+            if need_tail_mask:
+                mask = col_pos < kv_valid_len
         if causal or has_window:
             row_pos = jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -102,6 +111,11 @@ def _recompute_p_ds(
             if wr >= 0:
                 wmask = col_abs <= row_pos + wr
                 mask = wmask if mask is None else (mask & wmask)
+        if has_seg:
+            sq = (seg_q if block_k == NUM_LANES
+                  else jnp.tile(seg_q, (1, block_k // NUM_LANES)))
+            segm = sq == seg_kv
+            mask = segm if mask is None else (mask & segm)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jnp.exp(s - lse[:, :1])
     dp = jax.lax.dot_general(
@@ -115,6 +129,7 @@ def _recompute_p_ds(
 def _dkv_kernel(
     offs_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+    seg_q_ref, seg_kv_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, scale, causal, block_q, block_k, num_q_tiles,
@@ -168,6 +183,10 @@ def _dkv_kernel(
                 kv_tile=kv_tile,
                 block_q=sub_q, block_k=block_k, q_off=q_off, kv_off=kv_off,
                 window=window,
+                seg_q=(seg_q_ref[0, rows, :]
+                       if seg_q_ref is not None else None),
+                seg_kv=(seg_kv_ref[0, :1, :]
+                        if seg_kv_ref is not None else None),
             )
             prec = (jax.lax.Precision.HIGHEST
                     if q.dtype == jnp.float32 else None)
@@ -193,6 +212,7 @@ def _dkv_kernel(
 def _dq_kernel(
     offs_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+    seg_q_ref, seg_kv_ref,
     dq_ref, dbias_ref,
     dq_scr,
     *, scale, causal, block_q, block_k, num_kv_tiles,
@@ -243,6 +263,10 @@ def _dq_kernel(
                 kv_tile=(kv_tile * block_k + part * sub_k) // sub_k,
                 block_q=block_q, block_k=sub_k, q_off=q_off, kv_off=kv_off,
                 window=window,
+                seg_q=(seg_q_ref[0, :, :]
+                       if seg_q_ref is not None else None),
+                seg_kv=(seg_kv_ref[0, :1, cols]
+                        if seg_kv_ref is not None else None),
             )
             if dbias_ref is not None:
                 dbias_ref[0, 0, :, cols] = ds.astype(dbias_ref.dtype)
@@ -268,12 +292,16 @@ def _dq_kernel(
         dq_ref[0, 0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
 
 
-def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None):
+def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None,
+                  seg=False):
     """Build in_specs/index fns shared by both bwd kernels.
 
     ``order`` is "kv_major" (grid (B,H,Tk,Tq)) or "q_major" (grid (B,H,Tq,Tk)).
     ``minor_tile_of(major, minor)``: bounded-window grids remap the minor grid
     index to the true tile index (clamped at the sequence edges).
+    ``seg``: append BlockSpecs for packed-sequence segment ids
+    (``[B, Nqp, NUM_LANES]`` lane-replicated q ids and
+    ``[B, NUM_SUBLANES, Nkp]`` sublane-replicated kv ids).
     """
     if minor_tile_of is None:
         minor_tile_of = lambda major, minor: minor
@@ -287,6 +315,12 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None):
         def bi_factory(Bb, Hb):
             return lambda b, h, j, i: (b if Bb > 1 else 0, h if Hb > 1 else 0,
                                        minor_tile_of(j, i), j)
+
+        def sqi(b, h, j, i):
+            return (b, minor_tile_of(j, i), 0)
+
+        def skvi(b, h, j, i):
+            return (b, 0, j)
     else:
         def qi(b, h, i, j):
             return (b, h, i, 0)
@@ -297,6 +331,12 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None):
         def bi_factory(Bb, Hb):
             return lambda b, h, i, j: (b if Bb > 1 else 0, h if Hb > 1 else 0,
                                        i, minor_tile_of(i, j))
+
+        def sqi(b, h, i, j):
+            return (b, i, 0)
+
+        def skvi(b, h, i, j):
+            return (b, 0, minor_tile_of(i, j))
 
     specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offsets
@@ -313,6 +353,13 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None):
                          bi_factory(bias.shape[0], bias.shape[1]),
                          memory_space=pltpu.VMEM)
         )
+    if seg:
+        specs.append(
+            pl.BlockSpec((1, block_q, NUM_LANES), sqi,
+                         memory_space=pltpu.VMEM))
+        specs.append(
+            pl.BlockSpec((1, NUM_SUBLANES, block_k), skvi,
+                         memory_space=pltpu.VMEM))
     return specs, qi, kvi
 
 
@@ -324,11 +371,14 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None):
 )
 def dkv_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
+    seg_q=None, seg_kv=None,
     *, scale, causal, block_q, block_k, kv_valid_len, interpret=None,
     window=None, static_offsets=None, q_splits=None,
 ):
     """dK/dV kernel launch. All seq dims pre-padded; H == Hkv (GQA expanded
     by the wrapper). ``lse_rep``/``delta_rep``: [B,H,Nqp,128] lane-replicated.
+    ``seg_q``/``seg_kv``: optional packed-sequence ids, [B,Nqp,128] /
+    [B,NUM_SUBLANES,Nkp] (pre-replicated by the wrapper).
     """
     if interpret is None:
         interpret = platform.pallas_interpret_default()
@@ -355,21 +405,29 @@ def dkv_padded(
         q_tile_of = None
     grid = (B, H, tk, q_w)
 
+    has_seg = seg_q is not None
     specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias,
-                                   "kv_major", q_tile_of)
+                                   "kv_major", q_tile_of, seg=has_seg)
     args = [offsets.astype(jnp.int32), q, k, v, do, lse_rep, delta_rep]
     if bias is not None:
         args.append(bias)
+    if has_seg:
+        args.extend([seg_q, seg_kv])
     has_bias = bias is not None
 
     def entry(offs, qr, kr, vr, dor, lser, deltar, *rest):
         idx = 0
         bias_r = rest[idx] if has_bias else None
         idx += 1 if has_bias else 0
+        sq_r = skv_r = None
+        if has_seg:
+            sq_r, skv_r = rest[idx], rest[idx + 1]
+            idx += 2
         dk_r, dv_r = rest[idx], rest[idx + 1]
         dk_s, dv_s = rest[idx + 2], rest[idx + 3]
         _dkv_kernel(
-            offs, qr, kr, vr, dor, lser, deltar, bias_r, dk_r, dv_r, dk_s, dv_s,
+            offs, qr, kr, vr, dor, lser, deltar, bias_r, sq_r, skv_r,
+            dk_r, dv_r, dk_s, dv_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_q_tiles=q_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_q_tiles_total=tq,
@@ -419,6 +477,7 @@ def dkv_padded(
 )
 def dq_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
+    seg_q=None, seg_kv=None,
     *, scale, causal, block_q, block_k, kv_valid_len,
     want_dbias=False, interpret=None, window=None, static_offsets=None,
     kv_splits=None,
@@ -455,11 +514,14 @@ def dq_padded(
         kv_tile_of = None
     grid = (B, H, tq, kv_w)
 
+    has_seg = seg_q is not None
     specs, qi, kvi = _common_specs(B, H, block_q, block_k, D, bias,
-                                   "q_major", kv_tile_of)
+                                   "q_major", kv_tile_of, seg=has_seg)
     args = [offsets.astype(jnp.int32), q, k, v, do, lse_rep, delta_rep]
     if bias is not None:
         args.append(bias)
+    if has_seg:
+        args.extend([seg_q, seg_kv])
     has_bias = bias is not None
 
     out_specs = [pl.BlockSpec((1, 1, block_q, D), qi, memory_space=pltpu.VMEM)]
@@ -478,12 +540,17 @@ def dq_padded(
         idx = 0
         bias_r = rest[idx] if has_bias else None
         idx += 1 if has_bias else 0
+        sq_r = skv_r = None
+        if has_seg:
+            sq_r, skv_r = rest[idx], rest[idx + 1]
+            idx += 2
         dq_r = rest[idx]; idx += 1
         dbias_r = rest[idx] if want_dbias else None
         idx += 1 if want_dbias else 0
         dq_s = rest[idx]
         _dq_kernel(
-            offs, qr, kr, vr, dor, lser, deltar, bias_r, dq_r, dbias_r, dq_s,
+            offs, qr, kr, vr, dor, lser, deltar, bias_r, sq_r, skv_r,
+            dq_r, dbias_r, dq_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_kv_tiles_total=tk,

@@ -43,6 +43,7 @@ from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
 from flashattn_tpu.utils import platform
 
 NUM_LANES = 128
+NUM_SUBLANES = 8
 LOG2E = 1.4426950408889634  # log2(e)
 LN2 = 0.6931471805599453    # 1/LOG2E
 
@@ -122,6 +123,8 @@ def _fwd_kernel(
     bias_ref,  # VMEM (1, 1, block_q, block_k) or None
     k_scale_ref,  # VMEM (1, 1, 1, block_k) f32 per-token K scales, or None
     v_scale_ref,  # VMEM (1, 1, 1, block_k) f32 per-token V scales, or None
+    seg_q_ref,   # VMEM (1, block_q, NUM_LANES) int32 lane-replicated, or None
+    seg_kv_ref,  # VMEM (1, 1, block_k) int32, or None
     # outputs
     o_ref,     # VMEM (1, 1, block_q, D)
     lse_ref,   # VMEM (1, 1, block_q, NUM_LANES) or None
@@ -149,7 +152,8 @@ def _fwd_kernel(
     wl, wr = window if window is not None else (-1, -1)
     need_tail_mask = kv_valid_len != kv_padded_len
     has_window = wl >= 0 or wr >= 0
-    masking = causal or has_window or need_tail_mask
+    has_seg = seg_q_ref is not None
+    masking = causal or has_window or need_tail_mask or has_seg
 
     if static_offs is not None:
         q_off, kv_off = static_offs
@@ -263,6 +267,18 @@ def _fwd_kernel(
                 mask = jnp_and(mask, dmat <= wr - off)
             if need_tail_mask:
                 mask = jnp_and(mask, col_l < kv_valid_len - col0)
+            if has_seg:
+                # Packed-sequence masking: pair (i, j) attends iff
+                # seg_q[i] == seg_kv[j]. q ids are lane-replicated
+                # (block_q, NUM_LANES) tiles, kv ids sublane-replicated
+                # (NUM_SUBLANES, block_k) — the Mosaic-friendly int32
+                # tilings; tile-and-compare instead of slice-to-1-lane
+                # broadcasts.
+                sq = seg_q_ref[0, qp * sub_q:(qp + 1) * sub_q, :]
+                if sub_k != NUM_LANES:
+                    sq = jnp.tile(sq, (1, sub_k // NUM_LANES))
+                skv = seg_kv_ref[0, :1, kp * sub_k:(kp + 1) * sub_k]
+                mask = jnp_and(mask, sq == skv)
             return mask
 
         def update(rows, cols, s, mask):
@@ -358,6 +374,12 @@ def _fwd_kernel(
 
         if not masking:
             fast_block()
+        elif has_seg:
+            # segment boundaries are runtime data — no block is provably
+            # unmasked, so every block takes the (branch-free) masked path;
+            # geometric should_run still skips causal/window-dead blocks
+            # (segment-dead blocks compute fully masked — harmless).
+            edge_block()
         else:
             pl.when(blk_full)(fast_block)
             pl.when(jnp.logical_not(blk_full))(
@@ -370,19 +392,32 @@ def _fwd_kernel(
 
     @pl.when(store_pred)
     def _store():
+        # Packed-sequence dead rows (a q row whose segment matches no kv
+        # token, e.g. padding) see only mask_value scores, so p = exp2(0) = 1
+        # accumulates garbage mean-of-V: zero them at store. The row is dead
+        # iff its running max never rose above the mask level. (The backward
+        # needs no analogue: its p = exp(mask_value − LN2·mask_value·…)
+        # underflows to exactly 0 for dead rows via the stored LSE.)
+        if has_seg:
+            def deaden(x):
+                dead = m_scr[:, :1] <= mask_value * 0.5
+                return jnp.where(dead, 0.0, x)
+        else:
+            def deaden(x):
+                return x
         if aug_width:
             lcol = acc_scr[:, head_dim:]       # lane-replicated rowsum(P)
             l_safe = jnp.where(lcol == 0.0, 1.0, lcol)[:, :1]   # (bq, 1)
-            o_ref[0, 0] = (acc_scr[:, :head_dim] * (1.0 / l_safe)
-                           ).astype(o_ref.dtype)
+            o_ref[0, 0] = deaden(acc_scr[:, :head_dim] * (1.0 / l_safe)
+                                 ).astype(o_ref.dtype)
             if lse_ref is not None:
                 # m is in log2 units; emit natural-log LSE (the bwd contract)
                 lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
         else:
             l = l_scr[...]
             l_safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, 0] = (acc_scr[...] * (1.0 / l_safe[:, :1])
-                           ).astype(o_ref.dtype)
+            o_ref[0, 0] = deaden(acc_scr[...] * (1.0 / l_safe[:, :1])
+                                 ).astype(o_ref.dtype)
             if lse_ref is not None:
                 lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
 
@@ -630,15 +665,19 @@ def _rc_geometry(Nqp):
 
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,
-                         v_scale, static_offsets, Nqp, Nkp, D, sub_q, sub_k):
+                         v_scale, static_offsets, Nqp, Nkp, D, sub_q, sub_k,
+                         seg=None):
     # Any static band qualifies: causal, causal+sliding-window, or pure
     # local window — the band geometry and the padded-KV-tail bound
     # (kv_valid_len is static) are baked into the trace-time tile table.
+    # Packed-sequence boundaries are runtime data, so segment calls stay on
+    # the flat/dense grids.
     banded = causal or (
         window is not None and (window[0] >= 0 or window[1] >= 0))
     return (
         banded
         and bias is None and k_scale is None and v_scale is None
+        and seg is None
         and static_offsets is not None
         and static_offsets[0] == static_offsets[1]
         and Nqp == Nkp and Nqp <= _RESIDENT_CAUSAL_MAX_N
@@ -662,6 +701,8 @@ def fwd_padded(
     offsets: jax.Array,       # (2,) int32 [q_offset, kv_offset]
     k_scale: jax.Array | None = None,  # [B, Hkv, Nk_pad] f32 (quantized KV)
     v_scale: jax.Array | None = None,  # [B, Hkv, Nk_pad] f32
+    seg_q: jax.Array | None = None,   # [B, Nq_pad, NUM_LANES] int32
+    seg_kv: jax.Array | None = None,  # [B, NUM_SUBLANES, Nk_pad] int32
     *,
     scale: float,
     causal: bool,
@@ -746,7 +787,7 @@ def fwd_padded(
             causal=causal, window=window, need_tail_mask=need_tail_mask,
             bias=bias, k_scale=k_scale, v_scale=v_scale,
             static_offsets=static_offsets, Nqp=Nqp, Nkp=Nkp, D=D,
-            sub_q=rc_sub_q, sub_k=rc_sub_k):
+            sub_q=rc_sub_q, sub_k=rc_sub_k, seg=seg_q):
         n = Nqp
         la_env = os.environ.get("FLASHATTN_TPU_RC_LOOKAHEAD")
         lookahead = (int(la_env) if la_env
@@ -874,6 +915,27 @@ def fwd_padded(
             )
             args.append(sc[:, :, None, :])
 
+    if seg_q is not None:
+        if flat:
+            def segq_index(b, h, p, tab_ref):
+                return (b, tab_ref[TAB_QI, p], 0)
+
+            def segkv_index(b, h, p, tab_ref):
+                return (b, 0, tab_ref[TAB_KV, p])
+        else:
+            def segq_index(b, h, i, j):
+                return (b, i, 0)
+
+            def segkv_index(b, h, i, j):
+                return (b, 0, j)
+        in_specs.append(
+            pl.BlockSpec((1, block_q, NUM_LANES), segq_index,
+                         memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((1, NUM_SUBLANES, block_k), segkv_index,
+                         memory_space=pltpu.VMEM))
+        args.extend([seg_q, seg_kv])
+
     out_shapes = [jax.ShapeDtypeStruct((B, Hq, Nqp, D), q.dtype)]
     out_specs = [
         pl.BlockSpec((1, 1, block_q, D), q_index, memory_space=pltpu.VMEM)
@@ -892,6 +954,7 @@ def fwd_padded(
     has_bias = bias is not None
     has_ks = k_scale is not None
     has_vs = v_scale is not None
+    has_seg = seg_q is not None
 
     def kernel_entry(*refs):
         idx = 0
@@ -901,19 +964,22 @@ def fwd_padded(
             tab_r = None
         offs, qr, kr, vr = refs[idx:idx + 4]
         idx += 4
-        bias_r = ks_r = vs_r = None
+        bias_r = ks_r = vs_r = sq_r = skv_r = None
         if has_bias:
             bias_r = refs[idx]; idx += 1
         if has_ks:
             ks_r = refs[idx]; idx += 1
         if has_vs:
             vs_r = refs[idx]; idx += 1
+        if has_seg:
+            sq_r = refs[idx]; skv_r = refs[idx + 1]; idx += 2
         o_r = refs[idx]; idx += 1
         lse_r = refs[idx] if return_lse else None
         idx += 1 if return_lse else 0
         m_scr, l_scr, acc_scr = refs[idx:idx + 3]
         _fwd_kernel(
-            tab_r, offs, qr, kr, vr, bias_r, ks_r, vs_r, o_r, lse_r,
+            tab_r, offs, qr, kr, vr, bias_r, ks_r, vs_r, sq_r, skv_r,
+            o_r, lse_r,
             m_scr, l_scr, acc_scr,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_kv_tiles=tk, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,

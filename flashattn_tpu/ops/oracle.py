@@ -31,6 +31,7 @@ def attention_reference(
     q_offset: int = 0,
     kv_offset: int = 0,
     window: tuple[int, int] | None = None,
+    segment_ids: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Unfused exact attention in float32, `[B, H, N, D]` layout.
 
@@ -48,6 +49,11 @@ def attention_reference(
       window: optional sliding window ``(left, right)``: position pair
         (i, j) may attend iff ``i - left <= j <= i + right`` (absolute
         positions); -1 disables that side. Composes with ``causal``.
+      segment_ids: packed-sequence masking, ``(q_ids [B, Nq], kv_ids
+        [B, Nk])``: (i, j) attends iff ``q_ids[i] == kv_ids[j]`` (ANDed with
+        the other masks). A fully-masked row outputs exact zeros — the
+        package-wide dead-row convention (the fused kernels store zeros and
+        their backward produces zero gradients for such rows).
     Returns:
       ``[B, H, Nq, D]`` in ``q.dtype``.
     """
@@ -70,22 +76,29 @@ def attention_reference(
                    precision=jax.lax.Precision.HIGHEST) * scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
-    if causal or window is not None:
+    row_alive = None
+    if causal or window is not None or segment_ids is not None:
         q_pos = jnp.arange(Nq)[:, None] + q_offset
         kv_pos = jnp.arange(Nk)[None, :] + kv_offset
-        keep = jnp.ones((Nq, Nk), bool)
+        keep = jnp.ones((1, 1, Nq, Nk), bool)
         if causal:
-            keep &= kv_pos <= q_pos
+            keep &= (kv_pos <= q_pos)[None, None]
         if window is not None:
             wl, wr = window
             if wl >= 0:
-                keep &= kv_pos >= q_pos - wl
+                keep &= (kv_pos >= q_pos - wl)[None, None]
             if wr >= 0:
-                keep &= kv_pos <= q_pos + wr
+                keep &= (kv_pos <= q_pos + wr)[None, None]
+        if segment_ids is not None:
+            seg_q, seg_kv = segment_ids
+            keep = keep & (seg_q[:, None, :, None] == seg_kv[:, None, None, :])
+            row_alive = keep.any(axis=-1, keepdims=True)
         s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhqk,bhkd->bhqd", p, vf,
                    precision=jax.lax.Precision.HIGHEST)
+    if row_alive is not None:
+        o = jnp.where(row_alive, o, 0.0)
     return o.astype(orig_dtype)
 
 
