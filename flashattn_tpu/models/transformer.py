@@ -117,17 +117,39 @@ def _mlp_block(layer, x):
     return x + jnp.einsum("bnf,fd->bnd", gate * up, layer["w_down"])
 
 
+def segment_positions(segment_ids):
+    """Per-segment RoPE positions for a packed batch: each contiguous run of
+    equal ids restarts at position 0 (``[0,0,1,1,1] → [0,1,0,1,2]``)."""
+    B, N = segment_ids.shape
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), segment_ids[:, 1:] != segment_ids[:, :-1]],
+        axis=1)
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0), axis=1)
+    return idx - seg_start
+
+
 def transformer_forward(params, tokens, cfg: TransformerConfig,
-                        *, interpret=None, attn_impl="fused"):
+                        *, interpret=None, attn_impl="fused",
+                        segment_ids=None):
     """tokens [B, N] int32 → logits [B, N, vocab] f32 (causal LM).
 
     ``attn_impl``: "fused" routes through the Pallas engine; "xla" computes
     exact unfused softmax attention — the bench baseline playing the
     reference's "PyTorch SDPA math backend" role (same switch as
-    models/unet._mha)."""
+    models/unet._mha).
+
+    ``segment_ids`` [B, N]: packed-batch training — several documents packed
+    into one row, separated by contiguous id runs. Attention is blocked
+    across documents (fused kernel segment masking, O(N) ids) and RoPE
+    positions restart per document, so packed logits equal the per-document
+    logits exactly."""
     B, N = tokens.shape
     x = params["embed"][tokens]
-    positions = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
+    if segment_ids is not None:
+        positions = segment_positions(segment_ids)
+    else:
+        positions = jnp.broadcast_to(jnp.arange(N)[None], (B, N))
 
     window = (cfg.sliding_window - 1, -1) if cfg.sliding_window else None
 
@@ -137,11 +159,13 @@ def transformer_forward(params, tokens, cfg: TransformerConfig,
 
             o = attention_reference(
                 q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
-                causal=True, window=window)
+                causal=True, window=window,
+                segment_ids=(None if segment_ids is None
+                             else (segment_ids, segment_ids)))
             return o.swapaxes(1, 2).astype(q.dtype)
         return flash_attention(
             q, k, v, causal=True, layout="BNHD", interpret=interpret,
-            window=window,
+            window=window, segment_ids=segment_ids,
         )
 
     for layer in params["layers"]:
@@ -152,14 +176,24 @@ def transformer_forward(params, tokens, cfg: TransformerConfig,
 
 
 def lm_loss(params, tokens, cfg: TransformerConfig, *, interpret=None,
-            attn_impl="fused"):
-    """Next-token cross-entropy (mean over all positions)."""
-    logits = transformer_forward(params, tokens[:, :-1], cfg,
-                                 interpret=interpret, attn_impl=attn_impl)
+            attn_impl="fused", segment_ids=None):
+    """Next-token cross-entropy (mean over all positions).
+
+    With ``segment_ids`` (packed batches), positions whose next token belongs
+    to a different document are excluded — a document's last token never
+    predicts the next document's first token — and the mean runs over the
+    remaining positions."""
+    logits = transformer_forward(
+        params, tokens[:, :-1], cfg, interpret=interpret,
+        attn_impl=attn_impl,
+        segment_ids=None if segment_ids is None else segment_ids[:, :-1])
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll)
+    if segment_ids is None:
+        return -jnp.mean(ll)
+    valid = (segment_ids[:, :-1] == segment_ids[:, 1:]).astype(jnp.float32)
+    return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 # ───────────────────────────── decode path ──────────────────────────────────

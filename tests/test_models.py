@@ -54,6 +54,39 @@ def test_lm_attn_impl_equivalence(lm_params):
     assert abs(lf - lx) < 5e-3, (lf, lx)
 
 
+def test_packed_batch_matches_separate(lm_params):
+    """Packed-batch golden test: two documents packed into one row (with
+    segment_ids) produce exactly the per-document logits and a loss equal to
+    the token-weighted mean of the separate losses (segment attention
+    blocking + per-document RoPE restart + boundary-masked loss)."""
+    n1, n2 = 28, 36
+    toks = jax.random.randint(jax.random.PRNGKey(21), (1, n1 + n2), 0, 128)
+    seg = jnp.concatenate(
+        [jnp.zeros((1, n1), jnp.int32), jnp.ones((1, n2), jnp.int32)], axis=1)
+    packed = transformer_forward(lm_params, toks, CFG, segment_ids=seg)
+    sep1 = transformer_forward(lm_params, toks[:, :n1], CFG)
+    sep2 = transformer_forward(lm_params, toks[:, n1:], CFG)
+    want = jnp.concatenate([sep1, sep2], axis=1)
+    assert float(jnp.max(jnp.abs(packed - want))) < 2e-4
+
+    lp = float(lm_loss(lm_params, toks, CFG, segment_ids=seg))
+    l1 = float(lm_loss(lm_params, toks[:, :n1], CFG))
+    l2 = float(lm_loss(lm_params, toks[:, n1:], CFG))
+    want_loss = ((n1 - 1) * l1 + (n2 - 1) * l2) / (n1 + n2 - 2)
+    assert abs(lp - want_loss) < 1e-5, (lp, want_loss)
+
+
+def test_packed_batch_grads_flow(lm_params):
+    toks = jax.random.randint(jax.random.PRNGKey(22), (2, 48), 0, 128)
+    seg = jnp.cumsum(
+        jax.random.bernoulli(jax.random.PRNGKey(23), 0.1, (2, 48))
+        .astype(jnp.int32), axis=1)
+    g = jax.grad(lambda p: lm_loss(p, toks, CFG, segment_ids=seg))(lm_params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
+
+
 def test_decode_matches_forward(lm_params):
     """KV-cache decode must reproduce teacher-forced logits exactly."""
     toks = jax.random.randint(jax.random.PRNGKey(2), (2, 32), 0, 128)
