@@ -33,6 +33,7 @@ from flashattn_tpu.ops.flash import (
     _pad_axis,
     _pad_head_dim,
     _round_up,
+    _seg_tiles,
     choose_block_sizes,
 )
 
@@ -50,18 +51,20 @@ def _merge(o, lse, o_p, lse_p):
 
 
 def _partial_fwd(q, k_blk, v_blk, q_off, kv_off, *, causal, scale, blocks,
-                 window=None):
+                 window=None, seg_q=None, seg_kv=None):
     offsets = jnp.stack([jnp.asarray(q_off, jnp.int32),
                          jnp.asarray(kv_off, jnp.int32)])
     o_p, lse_p = _flash_core_fwd_impl(
         q, k_blk, v_blk, None, offsets, scale, causal, blocks,
         k_blk.shape[2], None, return_lse=True, window=window,
+        seg_q=seg_q, seg_kv=seg_kv,
     )
     return o_p.astype(jnp.float32), lse_p
 
 
 def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
-                 causal, scale, blocks, window=None):
+                 causal, scale, blocks, window=None, seg_q=None,
+                 seg_kv=None):
     """Per-chunk-pair (dQ, dK, dV) via the single-device bwd kernels, with
     the *global* LSE/delta so partial gradients sum exactly."""
     B, H, nq, D = q.shape
@@ -82,12 +85,15 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
         _pad_axis(lse, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
     delta_rep = jnp.broadcast_to(
         _pad_axis(delta, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
+    sq_rep = skv_rep = None
+    if seg_q is not None:
+        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
     dk, dv = flash_bwd.dkv_padded(
         _pad_axis(_pad_axis(q, 2, nqp), 3, dp),
         _pad_axis(_pad_axis(k_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(v_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
-        lse_rep, delta_rep, None, offsets,
+        lse_rep, delta_rep, None, offsets, sq_rep, skv_rep,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=nk, window=window,
     )
@@ -101,12 +107,14 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
         _pad_axis(lse, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
     delta_rep = jnp.broadcast_to(
         _pad_axis(delta, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
+    if seg_q is not None:
+        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
     dq, _ = flash_bwd.dq_padded(
         _pad_axis(_pad_axis(q, 2, nqp), 3, dp),
         _pad_axis(_pad_axis(k_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(v_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
-        lse_rep, delta_rep, None, offsets,
+        lse_rep, delta_rep, None, offsets, sq_rep, skv_rep,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=nk, window=window,
     )
@@ -117,13 +125,16 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _ring_core(q, k, v, axis_name, n_dev, causal, scale, window):
-    o, _ = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _ring_core(q, k, v, seg_q, seg_kv, axis_name, n_dev, causal, scale,
+               window):
+    o, _ = _ring_fwd_loop(q, k, v, seg_q, seg_kv, axis_name, n_dev, causal,
+                          scale, window)
     return o
 
 
-def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
+def _ring_fwd_loop(q, k, v, seg_q, seg_kv, axis_name, n_dev, causal, scale,
+                   window=None):
     B, H, nq, D = q.shape
     nk = k.shape[2]
     idx = jax.lax.axis_index(axis_name)
@@ -132,7 +143,7 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
 
     o = jnp.zeros((B, H, nq, D), jnp.float32)
     lse = jnp.full((B, H, nq), -jnp.inf, jnp.float32)
-    k_blk, v_blk = k, v
+    k_blk, v_blk, skv_blk = k, v, seg_kv
     for step in range(n_dev):
         src = (idx - step) % n_dev
         kv_off = src * nk
@@ -147,11 +158,15 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
         if step < n_dev - 1:
             k_next = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
             v_next = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+            skv_next = (jax.lax.ppermute(skv_blk, axis_name, _perm(n_dev))
+                        if skv_blk is not None else None)
 
-        def compute(o, lse, k_blk=k_blk, v_blk=v_blk, kv_off=kv_off):
+        def compute(o, lse, k_blk=k_blk, v_blk=v_blk, skv_blk=skv_blk,
+                    kv_off=kv_off):
             o_p, lse_p = _partial_fwd(
                 q, k_blk, v_blk, q_off, kv_off,
                 causal=causal, scale=scale, blocks=blocks, window=window,
+                seg_q=seg_q, seg_kv=skv_blk,
             )
             return _merge(o, lse, o_p, lse_p)
 
@@ -165,7 +180,7 @@ def _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window=None):
             )
 
         if step < n_dev - 1:
-            k_blk, v_blk = k_next, v_next
+            k_blk, v_blk, skv_blk = k_next, v_next, skv_next
     return o.astype(q.dtype), lse
 
 
@@ -182,13 +197,15 @@ def _chunk_needed(q_off, kv_off, nq, nk, causal, window):
     return needed
 
 
-def _ring_core_fwd(q, k, v, axis_name, n_dev, causal, scale, window):
-    o, lse = _ring_fwd_loop(q, k, v, axis_name, n_dev, causal, scale, window)
-    return o, (q, k, v, o, lse)
+def _ring_core_fwd(q, k, v, seg_q, seg_kv, axis_name, n_dev, causal, scale,
+                   window):
+    o, lse = _ring_fwd_loop(q, k, v, seg_q, seg_kv, axis_name, n_dev, causal,
+                            scale, window)
+    return o, (q, k, v, seg_q, seg_kv, o, lse)
 
 
 def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
-    q, k, v, o, lse = residuals
+    q, k, v, seg_q, seg_kv, o, lse = residuals
     B, H, nq, D = q.shape
     nk = k.shape[2]
     idx = jax.lax.axis_index(axis_name)
@@ -204,16 +221,17 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
     Hkv = k.shape[1]
     dk_acc = jnp.zeros((B, Hkv, nk, D), jnp.float32)
     dv_acc = jnp.zeros((B, Hkv, nk, D), jnp.float32)
-    k_blk, v_blk = k, v
+    k_blk, v_blk, skv_blk = k, v, seg_kv
     for step in range(n_dev):
         src = (idx - step) % n_dev
         kv_off = src * nk
 
         def compute(dq, dk_acc, dv_acc, k_blk=k_blk, v_blk=v_blk,
-                    kv_off=kv_off):
+                    skv_blk=skv_blk, kv_off=kv_off):
             dq_p, dk_p, dv_p = _chunk_grads(
                 q, k_blk, v_blk, do, lse, delta, q_off, kv_off,
                 causal=causal, scale=scale, blocks=blocks, window=window,
+                seg_q=seg_q, seg_kv=skv_blk,
             )
             return dq + dq_p, dk_acc + dk_p, dv_acc + dv_p
 
@@ -222,6 +240,8 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
         if step < n_dev - 1:
             k_next = jax.lax.ppermute(k_blk, axis_name, _perm(n_dev))
             v_next = jax.lax.ppermute(v_blk, axis_name, _perm(n_dev))
+            skv_next = (jax.lax.ppermute(skv_blk, axis_name, _perm(n_dev))
+                        if skv_blk is not None else None)
 
         needed = _chunk_needed(q_off, kv_off, nq, nk, causal, window)
         if needed is True:
@@ -233,7 +253,7 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
             )
 
         if step < n_dev - 1:
-            k_blk, v_blk = k_next, v_next
+            k_blk, v_blk, skv_blk = k_next, v_next, skv_next
         # accumulators travel with their chunk every step, including the
         # last: after this final rotation each (dK, dV) is home again.
         # (They rotate AFTER the compute that updates them — this permute
@@ -242,7 +262,15 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
         dk_acc = jax.lax.ppermute(dk_acc, axis_name, _perm(n_dev))
         dv_acc = jax.lax.ppermute(dv_acc, axis_name, _perm(n_dev))
 
-    return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+    def _seg_ct(s):
+        if s is None:
+            return None
+        import numpy as np
+
+        return np.zeros(s.shape, dtype=jax.dtypes.float0)
+
+    return (dq.astype(q.dtype), dk_acc.astype(k.dtype),
+            dv_acc.astype(v.dtype), _seg_ct(seg_q), _seg_ct(seg_kv))
 
 
 _ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
@@ -258,23 +286,37 @@ def ring_attention(
     causal: bool = False,
     scale: float | None = None,
     window: tuple[int, int] | None = None,
+    segment_ids: jax.Array | tuple | None = None,
 ) -> jax.Array:
     """Sequence-parallel fused attention (call *inside* ``shard_map``).
 
     q/k/v: local chunks ``[B, H, N/axis_size, D]``, sequence sharded on
     ``axis_name``. Differentiable (ring backward). GQA is supported by
     expanding KV heads to Q heads before the ring.
+
+    ``segment_ids``: local id chunks for packed sequences — a single
+    ``[B, N/axis_size]`` array (self-attention: q and kv chunks cover the
+    same token range per device) or a ``(q_ids, kv_ids)`` tuple. The kv id
+    chunk rotates around the ring alongside K/V (O(N) int32 per hop); dead
+    partials merge as exact no-ops through the LSE rule (their stored LSE
+    is ≈ LN2·mask_value, which ``logaddexp`` treats as −inf).
     """
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     kdt = _dispatch_dtype(q.dtype)
     in_dtype = q.dtype
+    if segment_ids is None:
+        seg_q = seg_kv = None
+    elif isinstance(segment_ids, (tuple, list)):
+        seg_q, seg_kv = segment_ids
+    else:
+        seg_q = seg_kv = segment_ids
     # GQA: K/V stay at Hkv heads through the ring — every ppermute carries
     # only Hkv/Hq of the naive traffic; the fused kernel reads KV heads
     # via its GQA BlockSpec index map, and the backward expands per chunk
     # locally (VMEM, not ICI) and reduces dK/dV back to Hkv.
     o = _ring_core(
-        q.astype(kdt), k.astype(kdt), v.astype(kdt),
+        q.astype(kdt), k.astype(kdt), v.astype(kdt), seg_q, seg_kv,
         axis_name, int(axis_size), bool(causal), float(scale),
         tuple(int(w) for w in window) if window is not None else None,
     )
@@ -290,13 +332,33 @@ def ring_attention_sharded(
     causal: bool = False,
     scale: float | None = None,
     window: tuple[int, int] | None = None,
+    with_segment_ids: bool = False,
 ):
     """Jitted global-shape entry point: shards sequence on ``axis`` (plus
     optional batch/head sharding) and runs :func:`ring_attention` on each
     shard — 2D/3D parallel attention (heads × sequence × data) in one call.
-    """
+
+    With ``with_segment_ids=True`` the returned callable takes
+    ``(q, k, v, segment_ids)``, ``segment_ids`` being the global ``[B, N]``
+    int array (seq-sharded alongside the tensors)."""
     n = mesh.shape[axis]
     spec = P(batch_axis, head_axis, axis, None)
+
+    if with_segment_ids:
+        seg_spec = P(batch_axis, axis)
+
+        def local_seg(q, k, v, seg):
+            return ring_attention(
+                q, k, v, axis_name=axis, axis_size=n, causal=causal,
+                scale=scale, window=window, segment_ids=seg,
+            )
+
+        mapped = jax.shard_map(
+            local_seg, mesh=mesh, in_specs=(spec, spec, spec, seg_spec),
+            out_specs=spec,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+        return jax.jit(mapped)
 
     def local(q, k, v):
         return ring_attention(

@@ -421,8 +421,11 @@ def _ring_kernel_bwd(axis_name, n_dev, causal, scale, residuals, g):
     # gradient path: the ppermute ring backward (numerically pinned there)
     from flashattn_tpu.parallel import ring as _ring
 
-    return _ring._ring_core_bwd(
-        axis_name, n_dev, causal, scale, None, residuals, g)
+    q, k, v, o, lse = residuals
+    outs = _ring._ring_core_bwd(
+        axis_name, n_dev, causal, scale, None,
+        (q, k, v, None, None, o, lse), g)
+    return outs[:3]
 
 
 _ring_kernel_core.defvjp(_ring_kernel_fwd, _ring_kernel_bwd)

@@ -29,11 +29,17 @@ def ulysses_attention(
     scale: float | None = None,
     bias: jax.Array | None = None,
     window: tuple[int, int] | None = None,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Sequence-parallel attention via all-to-all (call inside ``shard_map``).
 
     q/k/v: local chunks ``[B, H, N/n, D]`` sharded on ``axis_name``; H must be
     divisible by the axis size. Returns the local output chunk.
+
+    ``segment_ids``: the local ``[B, N/n]`` id chunk (packed sequences). The
+    post-all-to-all kernel sees the full sequence, so the ids are all-gathered
+    along the axis first — O(N) int32 traffic, a well-defined global contract
+    (unlike a bias slice, which is O(N²) and rejected below).
     """
     n = axis_size
     B, H, nq_loc, D = q.shape
@@ -66,9 +72,17 @@ def ulysses_attention(
             x, axis_name, split_axis=2, concat_axis=1, tiled=True
         )
 
+    seg_full = None
+    if segment_ids is not None:
+        # [B, N/n] -> [B, N] (ids are global values; gather restores the
+        # full-sequence view the kernel operates in).
+        seg_full = jax.lax.all_gather(
+            segment_ids, axis_name, axis=1, tiled=True)
+
     qg, kg, vg = seq_to_head(q), seq_to_head(k), seq_to_head(v)
     og = flash_attention(
-        qg, kg, vg, causal=causal, scale=scale, window=window
+        qg, kg, vg, causal=causal, scale=scale, window=window,
+        segment_ids=seg_full,
     )
     return head_to_seq(og)
 
@@ -81,10 +95,31 @@ def ulysses_attention_sharded(
     causal: bool = False,
     scale: float | None = None,
     window: tuple[int, int] | None = None,
+    with_segment_ids: bool = False,
 ):
-    """Jitted global-shape entry point for Ulysses SP."""
+    """Jitted global-shape entry point for Ulysses SP.
+
+    With ``with_segment_ids=True`` the returned callable takes
+    ``(q, k, v, segment_ids)`` where ``segment_ids`` is the global ``[B, N]``
+    int array (sharded on the seq axis like the tensors)."""
     n = mesh.shape[axis]
     spec = P(batch_axis, None, axis, None)
+
+    if with_segment_ids:
+        seg_spec = P(batch_axis, axis)
+
+        def local_seg(q, k, v, seg):
+            return ulysses_attention(
+                q, k, v, axis_name=axis, axis_size=n, causal=causal,
+                scale=scale, window=window, segment_ids=seg,
+            )
+
+        mapped = jax.shard_map(
+            local_seg, mesh=mesh, in_specs=(spec, spec, spec, seg_spec),
+            out_specs=spec,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+        return jax.jit(mapped)
 
     def local(q, k, v):
         return ulysses_attention(

@@ -94,6 +94,34 @@ def test_ring_attention_grads(causal):
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_segment_ids(causal):
+    """Packed sequences under ring SP: kv id chunks rotate alongside K/V;
+    dead partials merge as no-ops through the LSE rule. A segment straddling
+    a shard boundary exercises the cross-chunk matching."""
+    _need8()
+    mesh = make_mesh(seq=4)
+    B, H, N, D = 1, 2, 512, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(17), B, H, N, D)
+    seg = jnp.cumsum(
+        jax.random.bernoulli(jax.random.PRNGKey(18), 6 / N, (B, N))
+        .astype(jnp.int32), axis=1)
+    fn = ring_attention_sharded(mesh, causal=causal, batch_axis=None,
+                                head_axis=None, with_segment_ids=True)
+    got = fn(q, k, v, seg)
+    want = attention_reference(q, k, v, causal=causal,
+                               segment_ids=(seg, seg))
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+    gg = jax.grad(lambda q, k, v: (fn(q, k, v, seg) ** 2).sum(),
+                  (0, 1, 2))(q, k, v)
+    gw = jax.grad(
+        lambda q, k, v: (attention_reference(
+            q, k, v, causal=causal, segment_ids=(seg, seg)) ** 2).sum(),
+        (0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gg, gw):
+        assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+
+
 def test_ring_attention_gqa_rotates_hkv():
     """GQA ring: KV rotate at Hkv heads (ICI traffic Hkv/Hq of naive —
     VERDICT r1 weak #6); numerics must still match the GQA oracle, fwd and
@@ -145,6 +173,32 @@ def test_ulysses_grads():
         (0, 1, 2),
     )(q, k, v)
     for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+
+
+def test_ulysses_segment_ids():
+    """Packed sequences under Ulysses SP: local id chunks are all-gathered
+    into the global [B, N] view the post-all-to-all kernel operates in."""
+    _need8()
+    mesh = make_mesh(seq=4)
+    B, H, N, D = 1, 8, 512, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(15), B, H, N, D)
+    seg = jnp.cumsum(
+        jax.random.bernoulli(jax.random.PRNGKey(16), 6 / N, (B, N))
+        .astype(jnp.int32), axis=1)
+    fn = ulysses_attention_sharded(mesh, causal=True, batch_axis=None,
+                                   with_segment_ids=True)
+    got = fn(q, k, v, seg)
+    want = attention_reference(q, k, v, causal=True,
+                               segment_ids=(seg, seg))
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+    gg = jax.grad(lambda q, k, v: (fn(q, k, v, seg) ** 2).sum(),
+                  (0, 1, 2))(q, k, v)
+    gw = jax.grad(
+        lambda q, k, v: (attention_reference(
+            q, k, v, causal=True, segment_ids=(seg, seg)) ** 2).sum(),
+        (0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gg, gw):
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
