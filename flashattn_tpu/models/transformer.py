@@ -321,20 +321,26 @@ def _zigzag_positions(seq_idx, n_local, sp):
 
 
 def _local_forward_sharded(params, tokens, cfg, mesh_shape, *, interpret,
-                           zigzag=False):
+                           zigzag=False, segment_ids=None, positions=None):
     """Per-shard forward: params carry local (tp-sharded) head/ff slices;
     tokens are the local [B/dp, N/sp] chunk. Ring attention over 'seq' —
     plain (contiguous layout) or zigzag (causally load-balanced layout;
-    RoPE positions follow the layout so the math is identical)."""
+    RoPE positions follow the layout so the math is identical).
+
+    ``segment_ids``/``positions``: local chunks for packed batches
+    (contiguous layout only). Positions are computed *globally* by the
+    caller (a packed document may straddle shard boundaries, so per-shard
+    position restarts would be wrong) and passed in sharded."""
     sp = mesh_shape["seq"]
     seq_idx = jax.lax.axis_index("seq")
     B, N = tokens.shape
-    if zigzag:
-        positions = jnp.broadcast_to(
-            _zigzag_positions(seq_idx, N, sp)[None], (B, N))
-    else:
-        pos0 = seq_idx * N
-        positions = jnp.broadcast_to(jnp.arange(N)[None] + pos0, (B, N))
+    if positions is None:
+        if zigzag:
+            positions = jnp.broadcast_to(
+                _zigzag_positions(seq_idx, N, sp)[None], (B, N))
+        else:
+            pos0 = seq_idx * N
+            positions = jnp.broadcast_to(jnp.arange(N)[None] + pos0, (B, N))
     x = params["embed"][tokens]
 
     def attn(q, k, v):
@@ -345,7 +351,8 @@ def _local_forward_sharded(params, tokens, cfg, mesh_shape, *, interpret,
                 qh, kh, vh, axis_name="seq", axis_size=sp)
         else:
             o = ring_attention(
-                qh, kh, vh, axis_name="seq", axis_size=sp, causal=True
+                qh, kh, vh, axis_name="seq", axis_size=sp, causal=True,
+                segment_ids=segment_ids,
             )
         return o.transpose(0, 2, 1, 3)
 
@@ -411,7 +418,8 @@ def adamw_update(grads, state, params, *, lr=1e-3, b1=0.9, b2=0.999,
 
 
 def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
-                            interpret=None, seq_layout="contiguous"):
+                            interpret=None, seq_layout="contiguous",
+                            with_segment_ids=False):
     """Build ``(params, opt_state, tokens) -> (params, opt_state, loss)``
     jitted over a (data, model, seq) mesh.
 
@@ -430,12 +438,24 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
     positions, attention masks, and the next-token loss all follow the
     layout, so the loss is identical to the contiguous one — only the
     per-device work distribution changes.
+
+    ``with_segment_ids``: the returned step takes
+    ``(params, opt_state, tokens, segment_ids)`` for packed batches:
+    ring attention rotates the kv ids, RoPE positions (computed on the
+    global ids, since documents may straddle seq shards) restart per
+    document, and the loss masks document boundaries — sp>1 packed loss
+    equals the single-device packed loss exactly. Contiguous layout only.
     """
     from jax.sharding import PartitionSpec as P
 
     if seq_layout not in ("contiguous", "zigzag"):
         raise ValueError(f"unknown seq_layout {seq_layout!r}")
     zz = seq_layout == "zigzag"
+    if with_segment_ids and zz:
+        raise ValueError(
+            "packed batches (with_segment_ids) require "
+            "seq_layout='contiguous' — the zigzag layout does not thread "
+            "segment ids yet")
 
     mesh_shape = dict(mesh.shape)
     rules = shard_params_leaf_rules(cfg)
@@ -456,11 +476,12 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
     pspecs = param_specs()
     tok_spec = P(batch_axes, "seq")
 
-    def local_loss(params, tokens):
+    def local_loss(params, tokens, seg=None, positions=None):
         sp = mesh_shape["seq"]
         B, nloc = tokens.shape
         logits = _local_forward_sharded(
-            params, tokens, cfg, mesh_shape, interpret=interpret, zigzag=zz
+            params, tokens, cfg, mesh_shape, interpret=interpret, zigzag=zz,
+            segment_ids=seg, positions=positions,
         )
         # Next-token targets with a one-token halo: the target of each
         # shard's last position is the NEXT shard's first token (ppermute),
@@ -501,14 +522,27 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         valid = jnp.broadcast_to(gpos < sp * nloc - 1, ll.shape)
+        if seg is not None:
+            # Packed batches: a document's last token must not predict the
+            # next document's first. The target segment id needs the same
+            # one-token halo as the target itself.
+            if sp > 1:
+                nxt_seg = jax.lax.ppermute(
+                    seg[:, :1], "seq",
+                    [(i, (i - 1) % sp) for i in range(sp)])
+            else:
+                nxt_seg = seg[:, :1]
+            seg_next = jnp.concatenate([seg[:, 1:], nxt_seg], axis=1)
+            valid = jnp.logical_and(valid, seg == seg_next)
         # mean over the global batch x (seq-1) (psum over data+seq shards)
         loss_sum = jax.lax.psum(jnp.sum(jnp.where(valid, -ll, 0.0)),
                                 (*batch_axes, "seq"))
         count = jax.lax.psum(jnp.sum(valid), (*batch_axes, "seq"))
         return loss_sum / count
 
-    def step(params, opt_state, tokens):
-        loss, grads = jax.value_and_grad(local_loss)(params, tokens)
+    def step(params, opt_state, tokens, seg=None, positions=None):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, tokens, seg, positions)
 
         # grads of tp-sharded leaves: psum over data+seq; replicated leaves
         # (embed, norms): psum over data+seq+model.
@@ -530,6 +564,23 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
         return params, opt_state, loss
 
     opt_specs = {"mu": pspecs, "nu": pspecs, "count": P()}
+    if with_segment_ids:
+        seg_spec = P(batch_axes, "seq")
+        mapped = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(pspecs, opt_specs, tok_spec, seg_spec, seg_spec),
+            out_specs=(pspecs, opt_specs, P()),
+            check_vma=False,
+        )
+
+        def run_seg(params, opt_state, tokens, segment_ids):
+            # RoPE positions restart per packed document; a document may
+            # straddle seq shards, so positions are computed on the GLOBAL
+            # ids here and sharded into the step alongside them.
+            return mapped(params, opt_state, tokens, segment_ids,
+                          segment_positions(segment_ids))
+
+        return jax.jit(run_seg), pspecs, opt_specs
     mapped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(pspecs, opt_specs, tok_spec),

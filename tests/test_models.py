@@ -159,6 +159,37 @@ def test_sharded_seq_loss_matches_single_device(lm_params):
     assert abs(float(loss) - float(want)) < 2e-3, (float(loss), float(want))
 
 
+def test_packed_sharded_loss_matches_single_device(lm_params):
+    """Packed batches under dp×sp: the sharded step's loss (ring attention
+    with rotating segment ids, global positions, halo'd boundary mask) must
+    equal the single-device packed lm_loss — including a document straddling
+    the seq-shard boundary."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=2, seq=4)
+    step, pspecs, opt_specs = make_sharded_train_step(
+        mesh, CFG, with_segment_ids=True)
+    params = init_transformer(jax.random.PRNGKey(0), CFG)
+    opt = adamw_init(params)
+    toks = jax.random.randint(jax.random.PRNGKey(31), (2, 64), 0, 128)
+    # boundaries at 25 and 49: both documents straddle shard edges (16/32/48)
+    seg = (jnp.arange(64)[None] >= 25).astype(jnp.int32) + (
+        jnp.arange(64)[None] >= 49).astype(jnp.int32)
+    seg = jnp.broadcast_to(seg, (2, 64))
+    _, _, loss_sharded = step(params, opt, toks, seg)
+    want = jnp.mean(jnp.stack([
+        lm_loss(params, toks[i:i + 1], CFG, segment_ids=seg[i:i + 1])
+        for i in range(2)]))
+    assert abs(float(loss_sharded) - float(want)) < 1e-5
+
+
+def test_packed_zigzag_rejected():
+    mesh = make_mesh(seq=4)
+    with pytest.raises(ValueError, match="contiguous"):
+        make_sharded_train_step(mesh, CFG, seq_layout="zigzag",
+                                with_segment_ids=True)
+
+
 def test_zigzag_seq_loss_matches_single_device(lm_params):
     """seq_layout='zigzag' (causally load-balanced SP) must reproduce the
     single-device loss exactly: RoPE positions, attention, and the two-halo
