@@ -138,6 +138,31 @@ def test_dead_rows_zero_output_and_grads():
     assert_close(grads[2], want[1], tol)
 
 
+def test_segments_with_bias_and_dbias():
+    """segments × bias: both optional VMEM operands threaded together
+    (spec-ordering in fwd + both bwd kernels), including the bias gradient —
+    dbias must be zero at segment-masked pairs."""
+    B, H, N, D = 1, 2, 192, 64
+    q, k, v = make_qkv(jax.random.PRNGKey(20), B, H, N, D)
+    bias = 0.5 * jax.random.normal(jax.random.PRNGKey(21), (1, H, N, N),
+                                   jnp.float32)
+    seg = _packed_ids(jax.random.PRNGKey(22), B, N)
+
+    def loss_fused(q, k, v, bias):
+        o = flash_attention(q, k, v, bias=bias, segment_ids=seg)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_oracle(q, k, v, bias):
+        o = attention_reference(q, k, v, bias=bias, segment_ids=(seg, seg))
+        return jnp.sum(o * jnp.sin(o))
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    tol = BWD_TOL[jnp.float32.dtype]
+    for g, w in zip(got, want):
+        assert_close(g, w, tol)
+
+
 def test_segments_with_window():
     B, H, N, D = 1, 2, 256, 64
     q, k, v = make_qkv(jax.random.PRNGKey(12), B, H, N, D)
