@@ -36,33 +36,45 @@ from flashattn_tpu.utils.timing import time_chained
 from benchmarks.bench_diffusion import peak_memory_bytes
 
 
-def build_step(cfg, attn_impl):
-    def step(carry, tokens):
+def build_step(cfg, attn_impl, packed=False):
+    def step(carry, tokens, *seg):
         params, opt = carry
         loss, grads = jax.value_and_grad(
-            lambda p: lm_loss(p, tokens, cfg, attn_impl=attn_impl))(params)
+            lambda p: lm_loss(p, tokens, cfg, attn_impl=attn_impl,
+                              segment_ids=seg[0] if packed else None)
+        )(params)
         params, opt = adamw_update(grads, opt, params)
         return params, opt
 
     return step
 
 
-def bench_one(cfg, batch, seqlen, attn_impl, iters):
+def bench_one(cfg, batch, seqlen, attn_impl, iters, packed=False):
     params = jax.jit(lambda k: init_transformer(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     opt = adamw_init(params)
     tokens = jax.random.randint(
         jax.random.PRNGKey(1), (batch, seqlen + 1), 0, cfg.vocab_size)
-    step = build_step(cfg, attn_impl)
+    consts = (tokens,)
+    if packed:
+        # 8 packed documents per row — the production varlen-batch shape;
+        # quantifies the segment-masking cost vs the plain causal step
+        # (segments force the flat/dense grid + two-pass backward).
+        seg = jnp.repeat(
+            jnp.arange(8, dtype=jnp.int32),
+            (seqlen + 1 + 7) // 8)[None, :seqlen + 1]
+        consts = (tokens, jnp.broadcast_to(seg, tokens.shape))
+    step = build_step(cfg, attn_impl, packed=packed)
 
-    rec = {"bench": "lm_train", "impl": attn_impl, "batch": batch,
+    rec = {"bench": "lm_train",
+           "impl": attn_impl + ("-packed" if packed else ""), "batch": batch,
            "seqlen": seqlen, "d_model": cfg.d_model,
            "n_layers": cfg.n_layers, "n_heads": cfg.n_heads}
     try:
-        t = time_chained(step, (params, opt), consts=(tokens,), iters=iters,
+        t = time_chained(step, (params, opt), consts=consts, iters=iters,
                          warmup_iters=max(1, min(iters - 1, iters // 4)),
                          repeats=2)
-        mem = peak_memory_bytes(step, (params, opt), tokens)
+        mem = peak_memory_bytes(step, (params, opt), *consts)
     except Exception as e:  # XLA arm can OOM on the O(N²) score tensors
         rec["status"] = f"failed: {type(e).__name__}"
         print(json.dumps(rec), flush=True)
@@ -115,6 +127,8 @@ def main():
                 # parity with its N-capped xla arm).
                 continue
             bench_one(cfg, batch, seqlen, impl, args.iters)
+    # Packed varlen batch (8 docs/row): the segment-masking overhead column.
+    bench_one(cfg, *shapes[-1], "fused", args.iters, packed=True)
 
 
 if __name__ == "__main__":
