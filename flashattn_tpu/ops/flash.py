@@ -255,11 +255,12 @@ def _flash_core(q, k, v, bias, offsets, seg_q, seg_kv, scale, causal, blocks,
     return o
 
 
-def _seg_tiles(seg_q, seg_kv, nqp, nkp):
-    """Pad packed-sequence ids to the launch geometry and replicate them into
-    the Mosaic-friendly int32 tilings: q ids lane-replicated
-    ``[B, nqp, NUM_LANES]``, kv ids sublane-replicated
-    ``[B, NUM_SUBLANES, nkp]``. Padding uses distinct sentinels (-1 / -2) so
+def _seg_tiles(seg_q, seg_kv, nqp, nkp, block_q, block_k):
+    """Pad packed-sequence ids to the launch geometry and build the three
+    kernel inputs: q ids lane-replicated ``[B, nqp, NUM_LANES]``, kv ids
+    sublane-replicated ``[B, NUM_SUBLANES, nkp]`` (the Mosaic-friendly int32
+    tilings), and the per-block run/full flags (see
+    :func:`_seg_block_flags`). Padding uses distinct sentinels (-1 / -2) so
     padded rows/cols never match anything (ids are documented >= 0)."""
     B, Nq = seg_q.shape
     Nk = seg_kv.shape[1]
@@ -269,7 +270,35 @@ def _seg_tiles(seg_q, seg_kv, nqp, nkp):
                   constant_values=-2)
     sq_rep = jax.lax.broadcast_in_dim(sq, (B, nqp, NUM_LANES), (0, 1))
     skv_rep = jax.lax.broadcast_in_dim(skv, (B, NUM_SUBLANES, nkp), (0, 2))
-    return sq_rep, skv_rep
+    return sq_rep, skv_rep, _seg_block_flags(sq, skv, block_q, block_k)
+
+
+def _seg_block_flags(seg_q_pad, seg_kv_pad, block_q, block_k):
+    """Per-(q_tile, kv_tile) segment classification, [B, 2, Tq, Tk] int32.
+
+    ``[b, 0]`` = run: the id *ranges* of the two tiles intersect — a shared
+    value must lie in both ranges, so disjoint ranges prove no pair matches
+    (conservative for arbitrary ids, exact for sorted/packed ids).
+    ``[b, 1]`` = full: both tiles constant and equal — every pair matches.
+    The kernels fold these into their block dispatch: cross-document blocks
+    are skipped outright and intra-document blocks keep the fast unmasked
+    path, so packed attention costs the sum of per-document areas. Padding
+    sentinels (-1 q / -2 kv) make padding blocks classify as dead for free.
+    """
+    B, nqp = seg_q_pad.shape
+    nkp = seg_kv_pad.shape[1]
+    qt = seg_q_pad.reshape(B, nqp // block_q, block_q)
+    kt = seg_kv_pad.reshape(B, nkp // block_k, block_k)
+    qmin, qmax = qt.min(axis=2), qt.max(axis=2)       # [B, Tq]
+    kmin, kmax = kt.min(axis=2), kt.max(axis=2)       # [B, Tk]
+    run = jnp.logical_and(
+        qmin[:, :, None] <= kmax[:, None, :],
+        kmin[:, None, :] <= qmax[:, :, None])
+    full = jnp.logical_and(
+        jnp.logical_and((qmin == qmax)[:, :, None],
+                        (kmin == kmax)[:, None, :]),
+        qmin[:, :, None] == kmin[:, None, :])
+    return jnp.stack([run, full], axis=1).astype(jnp.int32)
 
 
 def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
@@ -304,12 +333,13 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
         bp = _pad_axis(_pad_axis(bias, 2, nqp if bias.shape[2] > 1 else 1), 3, nkp)
         if bp.shape[2] == 1:
             bp = jnp.broadcast_to(bp, (bp.shape[0], bp.shape[1], nqp, nkp))
-    sq_rep = skv_rep = None
+    sq_rep = skv_rep = seg_flags = None
     if seg_q is not None:
-        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
+        sq_rep, skv_rep, seg_flags = _seg_tiles(seg_q, seg_kv, nqp, nkp,
+                                                bq, bk)
 
     o, lse = flash_fwd.fwd_padded(
-        qp, kp, vp, bp, offsets, None, None, sq_rep, skv_rep,
+        qp, kp, vp, bp, offsets, None, None, sq_rep, skv_rep, seg_flags,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=kv_valid_len, return_lse=return_lse,
         num_heads_q=Hq, interpret=interpret, window=window,
@@ -419,12 +449,13 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         _pad_axis(delta, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
     )
     bp = _pad_bias(bias, nqp, nkp)
-    sq_rep = skv_rep = None
+    sq_rep = skv_rep = seg_flags = None
     if seg_q is not None:
-        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
+        sq_rep, skv_rep, seg_flags = _seg_tiles(seg_q, seg_kv, nqp, nkp,
+                                                bq_dkv, bk_dkv)
     dk, dv = flash_bwd.dkv_padded(
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
-        sq_rep, skv_rep,
+        sq_rep, skv_rep, seg_flags,
         scale=scale, causal=causal, block_q=bq_dkv, block_k=bk_dkv,
         kv_valid_len=kv_valid_len, interpret=interpret, window=window,
         static_offsets=static_offsets,
@@ -449,12 +480,13 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         _pad_axis(delta, 2, nqp)[..., None], (B, Hq, nqp, NUM_LANES)
     )
     bp = _pad_bias(bias, nqp, nkp)
-    sq_rep = skv_rep = None
+    sq_rep = skv_rep = seg_flags = None
     if seg_q is not None:
-        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
+        sq_rep, skv_rep, seg_flags = _seg_tiles(seg_q, seg_kv, nqp, nkp,
+                                                bq_dq, bk_dq)
     dq, dbias_full = flash_bwd.dq_padded(
         qp, kp, vp, dop, lse_rep, delta_rep, bp, offsets,
-        sq_rep, skv_rep,
+        sq_rep, skv_rep, seg_flags,
         scale=scale, causal=causal, block_q=bq_dq, block_k=bk_dq,
         kv_valid_len=kv_valid_len, want_dbias=want_dbias, interpret=interpret,
         window=window, static_offsets=static_offsets,

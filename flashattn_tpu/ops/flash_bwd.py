@@ -129,7 +129,7 @@ def _recompute_p_ds(
 def _dkv_kernel(
     offs_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
-    seg_q_ref, seg_kv_ref,
+    seg_q_ref, seg_kv_ref, seg_flags_ref,
     dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, scale, causal, block_q, block_k, num_q_tiles,
@@ -161,6 +161,15 @@ def _dkv_kernel(
     if bounded_delta is not None:
         should_run = jnp.logical_and(should_run, in_range) \
             if not isinstance(should_run, bool) else in_range
+    if seg_flags_ref is not None:
+        # Skip cross-document blocks (host-side range-overlap flags; same
+        # classification as the fwd kernel). q_tile may be out of range on
+        # bounded grids — clamp the index; in_range already gates the run.
+        qt = (jnp.clip(q_tile, 0, num_q_tiles_total - 1)
+              if bounded_delta is not None else q_tile)
+        seg_run = seg_flags_ref[pl.program_id(0), 0, qt, kv_tile] == 1
+        should_run = (seg_run if should_run is True
+                      else jnp.logical_and(should_run, seg_run))
 
     @pl.when(should_run)
     def _compute():
@@ -212,7 +221,7 @@ def _dkv_kernel(
 def _dq_kernel(
     offs_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
-    seg_q_ref, seg_kv_ref,
+    seg_q_ref, seg_kv_ref, seg_flags_ref,
     dq_ref, dbias_ref,
     dq_scr,
     *, scale, causal, block_q, block_k, num_kv_tiles,
@@ -243,6 +252,12 @@ def _dq_kernel(
     if bounded_delta is not None:
         should_run = jnp.logical_and(should_run, in_range) \
             if not isinstance(should_run, bool) else in_range
+    if seg_flags_ref is not None:
+        kt = (jnp.clip(kv_tile, 0, num_kv_tiles_total - 1)
+              if bounded_delta is not None else kv_tile)
+        seg_run = seg_flags_ref[pl.program_id(0), 0, q_tile, kt] == 1
+        should_run = (seg_run if should_run is True
+                      else jnp.logical_and(should_run, seg_run))
 
     @pl.when(should_run)
     def _compute():
@@ -281,8 +296,10 @@ def _dq_kernel(
             )
 
     wl_, wr_ = window if window is not None else (-1, -1)
-    if (causal or wl_ >= 0 or wr_ >= 0) and dbias_ref is not None:
-        # Skipped (out-of-window) tiles still own a dbias block: zero it.
+    if (causal or wl_ >= 0 or wr_ >= 0
+            or seg_flags_ref is not None) and dbias_ref is not None:
+        # Skipped (out-of-window / cross-document) tiles still own a dbias
+        # block: zero it.
         @pl.when(jnp.logical_not(should_run))
         def _zero_dbias():
             dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
@@ -360,6 +377,8 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None,
         specs.append(
             pl.BlockSpec((1, NUM_SUBLANES, block_k), skvi,
                          memory_space=pltpu.VMEM))
+        # per-block run flags, whole [B, 2, Tq, Tk] array in SMEM
+        specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     return specs, qi, kvi
 
 
@@ -371,7 +390,7 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None,
 )
 def dkv_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
-    seg_q=None, seg_kv=None,
+    seg_q=None, seg_kv=None, seg_flags=None,
     *, scale, causal, block_q, block_k, kv_valid_len, interpret=None,
     window=None, static_offsets=None, q_splits=None,
 ):
@@ -412,21 +431,21 @@ def dkv_padded(
     if bias is not None:
         args.append(bias)
     if has_seg:
-        args.extend([seg_q, seg_kv])
+        args.extend([seg_q, seg_kv, seg_flags])
     has_bias = bias is not None
 
     def entry(offs, qr, kr, vr, dor, lser, deltar, *rest):
         idx = 0
         bias_r = rest[idx] if has_bias else None
         idx += 1 if has_bias else 0
-        sq_r = skv_r = None
+        sq_r = skv_r = sf_r = None
         if has_seg:
-            sq_r, skv_r = rest[idx], rest[idx + 1]
-            idx += 2
+            sq_r, skv_r, sf_r = rest[idx:idx + 3]
+            idx += 3
         dk_r, dv_r = rest[idx], rest[idx + 1]
         dk_s, dv_s = rest[idx + 2], rest[idx + 3]
         _dkv_kernel(
-            offs, qr, kr, vr, dor, lser, deltar, bias_r, sq_r, skv_r,
+            offs, qr, kr, vr, dor, lser, deltar, bias_r, sq_r, skv_r, sf_r,
             dk_r, dv_r, dk_s, dv_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_q_tiles=q_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
@@ -477,7 +496,7 @@ def dkv_padded(
 )
 def dq_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
-    seg_q=None, seg_kv=None,
+    seg_q=None, seg_kv=None, seg_flags=None,
     *, scale, causal, block_q, block_k, kv_valid_len,
     want_dbias=False, interpret=None, window=None, static_offsets=None,
     kv_splits=None,
@@ -521,7 +540,7 @@ def dq_padded(
     if bias is not None:
         args.append(bias)
     if has_seg:
-        args.extend([seg_q, seg_kv])
+        args.extend([seg_q, seg_kv, seg_flags])
     has_bias = bias is not None
 
     out_specs = [pl.BlockSpec((1, 1, block_q, D), qi, memory_space=pltpu.VMEM)]
@@ -540,16 +559,16 @@ def dq_padded(
         idx = 0
         bias_r = rest[idx] if has_bias else None
         idx += 1 if has_bias else 0
-        sq_r = skv_r = None
+        sq_r = skv_r = sf_r = None
         if has_seg:
-            sq_r, skv_r = rest[idx], rest[idx + 1]
-            idx += 2
+            sq_r, skv_r, sf_r = rest[idx:idx + 3]
+            idx += 3
         dq_r = rest[idx]; idx += 1
         dbias_r = rest[idx] if want_dbias else None
         idx += 1 if want_dbias else 0
         dq_s = rest[idx]
         _dq_kernel(
-            offs, qr, kr, vr, dor, lser, deltar, bias_r, sq_r, skv_r,
+            offs, qr, kr, vr, dor, lser, deltar, bias_r, sq_r, skv_r, sf_r,
             dq_r, dbias_r, dq_s,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,

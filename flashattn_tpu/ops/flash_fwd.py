@@ -124,7 +124,8 @@ def _fwd_kernel(
     k_scale_ref,  # VMEM (1, 1, 1, block_k) f32 per-token K scales, or None
     v_scale_ref,  # VMEM (1, 1, 1, block_k) f32 per-token V scales, or None
     seg_q_ref,   # VMEM (1, block_q, NUM_LANES) int32 lane-replicated, or None
-    seg_kv_ref,  # VMEM (1, 1, block_k) int32, or None
+    seg_kv_ref,  # VMEM (1, NUM_SUBLANES, block_k) int32, or None
+    seg_flags_ref,  # SMEM (B, 2, Tq, Tk) int32 [run, full] per block, or None
     # outputs
     o_ref,     # VMEM (1, 1, block_q, D)
     lse_ref,   # VMEM (1, 1, block_q, NUM_LANES) or None
@@ -193,6 +194,23 @@ def _fwd_kernel(
                 should_run = True
         else:
             should_run, blk_full = True, True
+
+    if has_seg:
+        # Host-computed per-block segment classification (SMEM):
+        # run = the id RANGES of the q and kv tiles intersect (a shared
+        # value must lie in both ranges, so disjoint ranges ⟹ no match —
+        # conservative for arbitrary ids, exact for sorted/packed ids);
+        # full = both tiles constant and equal (every pair matches).
+        # Cross-document blocks are skipped outright, intra-document blocks
+        # keep the fast (unmasked) path — packed attention costs the sum of
+        # per-document areas, not the full causal area.
+        b = pl.program_id(0)
+        seg_run = seg_flags_ref[b, 0, q_tile, kv_tile] == 1
+        seg_full = seg_flags_ref[b, 1, q_tile, kv_tile] == 1
+        should_run = (seg_run if should_run is True
+                      else jnp.logical_and(should_run, seg_run))
+        blk_full = (seg_full if (blk_full is None or blk_full is True)
+                    else jnp.logical_and(blk_full, seg_full))
 
     @pl.when(init_pred)
     def _init():
@@ -375,11 +393,13 @@ def _fwd_kernel(
         if not masking:
             fast_block()
         elif has_seg:
-            # segment boundaries are runtime data — no block is provably
-            # unmasked, so every block takes the (branch-free) masked path;
-            # geometric should_run still skips causal/window-dead blocks
-            # (segment-dead blocks compute fully masked — harmless).
-            edge_block()
+            # blk_full here folds in the host-side seg_full flag, so
+            # intra-document interior blocks keep the fast path; boundary
+            # blocks take the branch-free masked path (part_mask includes
+            # the id compare). tri_block is causal-only and unsound under
+            # runtime segment boundaries.
+            pl.when(blk_full)(fast_block)
+            pl.when(jnp.logical_not(blk_full))(edge_block)
         else:
             pl.when(blk_full)(fast_block)
             pl.when(jnp.logical_not(blk_full))(
@@ -399,12 +419,25 @@ def _fwd_kernel(
         # needs no analogue: its p = exp(mask_value − LN2·mask_value·…)
         # underflows to exactly 0 for dead rows via the stored LSE.)
         if has_seg:
+            dead = m_scr[:, :1] <= mask_value * 0.5
+
             def deaden(x):
-                dead = m_scr[:, :1] <= mask_value * 0.5
                 return jnp.where(dead, 0.0, x)
+
+            def fix_lse(lse_val):
+                # A row whose every block was seg-skipped has m = -inf and
+                # would store lse = -inf, which the backward turns into
+                # p = exp(mask_value + inf) = inf. Emit the same finite
+                # very-negative LSE an all-masked (non-skipped) row
+                # produces — the backward then underflows p to exact 0 and
+                # the ring merge treats it as -inf through logaddexp.
+                return jnp.where(dead, LN2 * mask_value, lse_val)
         else:
             def deaden(x):
                 return x
+
+            def fix_lse(lse_val):
+                return lse_val
         if aug_width:
             lcol = acc_scr[:, head_dim:]       # lane-replicated rowsum(P)
             l_safe = jnp.where(lcol == 0.0, 1.0, lcol)[:, :1]   # (bq, 1)
@@ -412,14 +445,16 @@ def _fwd_kernel(
                                  ).astype(o_ref.dtype)
             if lse_ref is not None:
                 # m is in log2 units; emit natural-log LSE (the bwd contract)
-                lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
+                lse_ref[0, 0] = fix_lse(
+                    m_scr[...] * LN2 + jnp.log(l_safe))
         else:
             l = l_scr[...]
             l_safe = jnp.where(l == 0.0, 1.0, l)
             o_ref[0, 0] = deaden(acc_scr[...] * (1.0 / l_safe[:, :1])
                                  ).astype(o_ref.dtype)
             if lse_ref is not None:
-                lse_ref[0, 0] = m_scr[...] * LN2 + jnp.log(l_safe)
+                lse_ref[0, 0] = fix_lse(
+                    m_scr[...] * LN2 + jnp.log(l_safe))
 
 
 def band_chunk(rf, rl, c0, width, *, causal, wl, wr, kv_valid_len):
@@ -703,6 +738,7 @@ def fwd_padded(
     v_scale: jax.Array | None = None,  # [B, Hkv, Nk_pad] f32
     seg_q: jax.Array | None = None,   # [B, Nq_pad, NUM_LANES] int32
     seg_kv: jax.Array | None = None,  # [B, NUM_SUBLANES, Nk_pad] int32
+    seg_flags: jax.Array | None = None,  # [B, 2, Tq, Tk] int32 run/full
     *,
     scale: float,
     causal: bool,
@@ -934,7 +970,10 @@ def fwd_padded(
         in_specs.append(
             pl.BlockSpec((1, NUM_SUBLANES, block_k), segkv_index,
                          memory_space=pltpu.VMEM))
-        args.extend([seg_q, seg_kv])
+        # Per-block run/full flags, whole array in SMEM (like offsets):
+        # indexed [b, flag, q_tile, kv_tile] inside the kernel.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.extend([seg_q, seg_kv, seg_flags])
 
     out_shapes = [jax.ShapeDtypeStruct((B, Hq, Nqp, D), q.dtype)]
     out_specs = [
@@ -964,7 +1003,7 @@ def fwd_padded(
             tab_r = None
         offs, qr, kr, vr = refs[idx:idx + 4]
         idx += 4
-        bias_r = ks_r = vs_r = sq_r = skv_r = None
+        bias_r = ks_r = vs_r = sq_r = skv_r = sf_r = None
         if has_bias:
             bias_r = refs[idx]; idx += 1
         if has_ks:
@@ -972,13 +1011,13 @@ def fwd_padded(
         if has_vs:
             vs_r = refs[idx]; idx += 1
         if has_seg:
-            sq_r = refs[idx]; skv_r = refs[idx + 1]; idx += 2
+            sq_r, skv_r, sf_r = refs[idx:idx + 3]; idx += 3
         o_r = refs[idx]; idx += 1
         lse_r = refs[idx] if return_lse else None
         idx += 1 if return_lse else 0
         m_scr, l_scr, acc_scr = refs[idx:idx + 3]
         _fwd_kernel(
-            tab_r, offs, qr, kr, vr, bias_r, ks_r, vs_r, sq_r, skv_r,
+            tab_r, offs, qr, kr, vr, bias_r, ks_r, vs_r, sq_r, skv_r, sf_r,
             o_r, lse_r,
             m_scr, l_scr, acc_scr,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,

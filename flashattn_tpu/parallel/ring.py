@@ -85,15 +85,16 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
         _pad_axis(lse, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
     delta_rep = jnp.broadcast_to(
         _pad_axis(delta, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
-    sq_rep = skv_rep = None
+    sq_rep = skv_rep = seg_flags = None
     if seg_q is not None:
-        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
+        sq_rep, skv_rep, seg_flags = _seg_tiles(seg_q, seg_kv, nqp, nkp,
+                                                bq, bk)
     dk, dv = flash_bwd.dkv_padded(
         _pad_axis(_pad_axis(q, 2, nqp), 3, dp),
         _pad_axis(_pad_axis(k_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(v_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
-        lse_rep, delta_rep, None, offsets, sq_rep, skv_rep,
+        lse_rep, delta_rep, None, offsets, sq_rep, skv_rep, seg_flags,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=nk, window=window,
     )
@@ -108,13 +109,14 @@ def _chunk_grads(q, k_blk, v_blk, do, lse, delta, q_off, kv_off, *,
     delta_rep = jnp.broadcast_to(
         _pad_axis(delta, 2, nqp)[..., None], (B, H, nqp, NUM_LANES))
     if seg_q is not None:
-        sq_rep, skv_rep = _seg_tiles(seg_q, seg_kv, nqp, nkp)
+        sq_rep, skv_rep, seg_flags = _seg_tiles(seg_q, seg_kv, nqp, nkp,
+                                                bq, bk)
     dq, _ = flash_bwd.dq_padded(
         _pad_axis(_pad_axis(q, 2, nqp), 3, dp),
         _pad_axis(_pad_axis(k_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(v_blk, 2, nkp), 3, dp),
         _pad_axis(_pad_axis(do, 2, nqp), 3, dp),
-        lse_rep, delta_rep, None, offsets, sq_rep, skv_rep,
+        lse_rep, delta_rep, None, offsets, sq_rep, skv_rep, seg_flags,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=nk, window=window,
     )
