@@ -243,14 +243,14 @@ def _from_bhnd(x, layout):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
 )
 def _flash_core(q, k, v, bias, offsets, seg_q, seg_kv, scale, causal, blocks,
-                kv_valid_len, interpret, window, static_offsets):
+                kv_valid_len, interpret, window, static_offsets, softcap):
     o, _ = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
         return_lse=False, window=window, static_offsets=static_offsets,
-        seg_q=seg_q, seg_kv=seg_kv,
+        seg_q=seg_q, seg_kv=seg_kv, softcap=softcap,
     )
     return o
 
@@ -303,7 +303,8 @@ def _seg_block_flags(seg_q_pad, seg_kv_pad, block_q, block_k):
 
 def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
                          kv_valid_len, interpret, *, return_lse, window=None,
-                         static_offsets=None, seg_q=None, seg_kv=None):
+                         static_offsets=None, seg_q=None, seg_kv=None,
+                         softcap=None):
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
     bq, bk = blocks.block_q, blocks.block_k
@@ -343,7 +344,7 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
         scale=scale, causal=causal, block_q=bq, block_k=bk,
         kv_valid_len=kv_valid_len, return_lse=return_lse,
         num_heads_q=Hq, interpret=interpret, window=window,
-        static_offsets=static_offsets,
+        static_offsets=static_offsets, softcap=softcap,
     )
     o = o[:, :, :Nq, :D]
     lse_out = lse[:, :, :Nq] if lse is not None else None
@@ -358,17 +359,18 @@ def _int_zero_cotangent(x):
 
 
 def _flash_core_fwd(q, k, v, bias, offsets, seg_q, seg_kv, scale, causal,
-                    blocks, kv_valid_len, interpret, window, static_offsets):
+                    blocks, kv_valid_len, interpret, window, static_offsets,
+                    softcap):
     o, lse = _flash_core_fwd_impl(
         q, k, v, bias, offsets, scale, causal, blocks, kv_valid_len, interpret,
         return_lse=True, window=window, static_offsets=static_offsets,
-        seg_q=seg_q, seg_kv=seg_kv,
+        seg_q=seg_q, seg_kv=seg_kv, softcap=softcap,
     )
     return o, (q, k, v, bias, offsets, seg_q, seg_kv, o, lse)
 
 
 def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
-                    static_offsets, residuals, g):
+                    static_offsets, softcap, residuals, g):
     q, k, v, bias, offsets, seg_q, seg_kv, o, lse = residuals
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
@@ -392,7 +394,8 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     bk_f = max(128, min(1024, _round_up(Nk, 128)))
     nqp_f = _round_up(Nq, bq_f)
     use_fused = (
-        bias is None and seg_q is None and static_offsets is not None
+        bias is None and seg_q is None and softcap is None
+        and static_offsets is not None
         and nqp_f * dp_ * 4 <= 32 * 1024 * 1024
     )
     if use_fused:
@@ -458,7 +461,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         sq_rep, skv_rep, seg_flags,
         scale=scale, causal=causal, block_q=bq_dkv, block_k=bk_dkv,
         kv_valid_len=kv_valid_len, interpret=interpret, window=window,
-        static_offsets=static_offsets,
+        static_offsets=static_offsets, softcap=softcap,
     )
     dk = dk[:, :, :Nk, :D]
     dv = dv[:, :, :Nk, :D]
@@ -489,7 +492,7 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
         sq_rep, skv_rep, seg_flags,
         scale=scale, causal=causal, block_q=bq_dq, block_k=bk_dq,
         kv_valid_len=kv_valid_len, want_dbias=want_dbias, interpret=interpret,
-        window=window, static_offsets=static_offsets,
+        window=window, static_offsets=static_offsets, softcap=softcap,
     )
     dq = dq[:, :, :Nq, :D]
 
@@ -543,6 +546,7 @@ def flash_attention(
     kv_offset: jax.Array | int = 0,
     window: tuple[int, int] | None = None,
     segment_ids=None,
+    logit_softcap: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused FlashAttention-2, differentiable, arbitrary shapes.
@@ -572,6 +576,10 @@ def flash_attention(
         outputs zeros and receives zero gradients. This is the feature the
         reference lacks entirely (its ``mask`` arg is dead, FlashAttn.py:49):
         train on packed batches without O(N²) bias materialization.
+      logit_softcap: Gemma-2-style logit soft-capping: the scaled logits
+        pass through ``cap·tanh(s/cap)`` before bias/mask/softmax (and the
+        backward chains the ``1 − tanh²`` Jacobian). Differentiable;
+        composes with causal/window/segments/bias/GQA.
       block_sizes: override the tile policy.
       interpret: force Pallas interpreter mode (None = auto: TPU compiles,
         CPU interprets).
@@ -605,6 +613,7 @@ def flash_attention(
         block_sizes, k.shape[2], interpret,
         tuple(int(w) for w in window) if window is not None else None,
         static_offsets,
+        float(logit_softcap) if logit_softcap is not None else None,
     )
     return _from_bhnd(o.astype(in_dtype), layout)
 
@@ -646,6 +655,7 @@ def flash_attention_with_lse(
     kv_offset: jax.Array | int = 0,
     window: tuple[int, int] | None = None,
     segment_ids=None,
+    logit_softcap: float | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward-only fused attention returning ``(O, L)`` with
@@ -678,6 +688,7 @@ def flash_attention_with_lse(
             else None
         ),
         seg_q=seg_q, seg_kv=seg_kv,
+        softcap=float(logit_softcap) if logit_softcap is not None else None,
     )
     return _from_bhnd(o.astype(in_dtype), layout), lse
 

@@ -65,9 +65,14 @@ def _recompute_p_ds(
     q, k, v, do, lse, delta, bias_val, *,
     scale, causal, need_tail_mask, kv_valid_len,
     q_tile, kv_tile, block_q, block_k, q_off, kv_off,
-    window=None, seg_q=None, seg_kv=None,
+    window=None, seg_q=None, seg_kv=None, softcap=None,
 ):
-    """Shared recompute: returns (p, ds) as f32 (block_q, block_k).
+    """Shared recompute: returns (p, ds, cap_jac) as f32 (block_q, block_k).
+
+    ``cap_jac`` is the logit-softcap Jacobian ``1 − tanh²(s/cap)`` (None
+    without softcap): ``ds`` is the gradient w.r.t. the CAPPED logits (what
+    dbias needs — bias adds after the cap), and dQ/dK chains need
+    ``ds · cap_jac``.
 
     ``p = exp(S − L)`` is the true normalized probability
     (reference bwd kernel_fp16.cu:690-721); ``ds = p ∘ (dp − Δ)``.
@@ -84,6 +89,11 @@ def _recompute_p_ds(
         preferred_element_type=jnp.float32, precision=prec,
     )
     s *= scale
+    cap_jac = None
+    if softcap is not None:
+        t = jnp.tanh(s * (1.0 / softcap))
+        cap_jac = 1.0 - t * t
+        s = softcap * t
     if bias_val is not None:
         s += bias_val.astype(jnp.float32)
     wl, wr = window if window is not None else (-1, -1)
@@ -123,7 +133,7 @@ def _recompute_p_ds(
         preferred_element_type=jnp.float32, precision=prec,
     )
     ds = p * (dp - delta[:, :1])
-    return p, ds
+    return p, ds, cap_jac
 
 
 def _dkv_kernel(
@@ -135,7 +145,7 @@ def _dkv_kernel(
     *, scale, causal, block_q, block_k, num_q_tiles,
     kv_valid_len, kv_padded_len, window=None,
     bounded_delta=None, num_q_tiles_total=None, static_offs=None,
-    q_splits=1,
+    q_splits=1, softcap=None,
 ):
     kv_tile = pl.program_id(2)
     grid_i = pl.program_id(3)
@@ -182,7 +192,7 @@ def _dkv_kernel(
             rows = slice(part * sub_q, (part + 1) * sub_q)
             q = q_ref[0, 0, rows, :]
             do = do_ref[0, 0, rows, :]
-            p, ds = _recompute_p_ds(
+            p, ds, cap_jac = _recompute_p_ds(
                 q, k, v, do, lse_ref[0, 0, rows, :], delta_ref[0, 0, rows, :],
                 bias_ref[0, 0, rows, :] if bias_ref is not None else None,
                 scale=scale, causal=causal,
@@ -196,6 +206,7 @@ def _dkv_kernel(
                        if seg_q_ref is not None else None),
                 seg_kv=(seg_kv_ref[0, :1, :]
                         if seg_kv_ref is not None else None),
+                softcap=softcap,
             )
             prec = (jax.lax.Precision.HIGHEST
                     if q.dtype == jnp.float32 else None)
@@ -205,6 +216,8 @@ def _dkv_kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
             )
+            if cap_jac is not None:
+                ds = ds * cap_jac  # chain through the logit softcap
             # dK += dSᵀ · Q  (reference kernel_fp16.cu:737; scale at store)
             dk_scr[...] += jax.lax.dot_general(
                 ds.astype(q.dtype), q,
@@ -227,7 +240,7 @@ def _dq_kernel(
     *, scale, causal, block_q, block_k, num_kv_tiles,
     kv_valid_len, kv_padded_len, window=None,
     bounded_delta=None, num_kv_tiles_total=None, static_offs=None,
-    kv_splits=1,
+    kv_splits=1, softcap=None,
 ):
     q_tile = pl.program_id(2)
     grid_j = pl.program_id(3)
@@ -267,7 +280,7 @@ def _dq_kernel(
         for part in range(kv_splits):
             cols = slice(part * sub_k, (part + 1) * sub_k)
             k = k_ref[0, 0, cols, :]
-            _, ds = _recompute_p_ds(
+            _, ds, cap_jac = _recompute_p_ds(
                 q, k, v_ref[0, 0, cols, :], do, lse_ref[0, 0],
                 delta_ref[0, 0],
                 bias_ref[0, 0, :, cols] if bias_ref is not None else None,
@@ -282,9 +295,13 @@ def _dq_kernel(
                        if seg_q_ref is not None else None),
                 seg_kv=(seg_kv_ref[0, :1, cols]
                         if seg_kv_ref is not None else None),
+                softcap=softcap,
             )
             if dbias_ref is not None:
+                # bias adds AFTER the cap: dbias is the capped-logit grad.
                 dbias_ref[0, 0, :, cols] = ds.astype(dbias_ref.dtype)
+            if cap_jac is not None:
+                ds = ds * cap_jac  # chain through the logit softcap
             # dQ += dS · K  (reference kernel_fp16.cu:736 — here with
             # symmetric scale, applied at store)
             dq_scr[...] += jax.lax.dot_general(
@@ -386,13 +403,13 @@ def _common_specs(B, H, block_q, block_k, D, bias, order, minor_tile_of=None,
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
                      "kv_valid_len", "interpret", "window", "static_offsets",
-                     "q_splits"),
+                     "q_splits", "softcap"),
 )
 def dkv_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     seg_q=None, seg_kv=None, seg_flags=None,
     *, scale, causal, block_q, block_k, kv_valid_len, interpret=None,
-    window=None, static_offsets=None, q_splits=None,
+    window=None, static_offsets=None, q_splits=None, softcap=None,
 ):
     """dK/dV kernel launch. All seq dims pre-padded; H == Hkv (GQA expanded
     by the wrapper). ``lse_rep``/``delta_rep``: [B,H,Nqp,128] lane-replicated.
@@ -450,7 +467,7 @@ def dkv_padded(
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_q_tiles=q_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_q_tiles_total=tq,
-            static_offs=static_offsets,
+            static_offs=static_offsets, softcap=softcap,
             q_splits=_valid_split(
                 max(1, block_q // 1024) if q_splits is None else q_splits,
                 block_q, 16),
@@ -492,14 +509,14 @@ def dkv_padded(
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_k",
                      "kv_valid_len", "want_dbias", "interpret", "window",
-                     "static_offsets", "kv_splits"),
+                     "static_offsets", "kv_splits", "softcap"),
 )
 def dq_padded(
     q, k, v, do, lse_rep, delta_rep, bias, offsets,
     seg_q=None, seg_kv=None, seg_flags=None,
     *, scale, causal, block_q, block_k, kv_valid_len,
     want_dbias=False, interpret=None, window=None, static_offsets=None,
-    kv_splits=None,
+    kv_splits=None, softcap=None,
 ):
     """dQ kernel launch (grid over Q tiles — no dQ races by construction).
 
@@ -573,7 +590,7 @@ def dq_padded(
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             num_kv_tiles=kv_w, kv_valid_len=kv_valid_len, kv_padded_len=Nkp,
             window=window, bounded_delta=delta, num_kv_tiles_total=tk,
-            static_offs=static_offsets,
+            static_offs=static_offsets, softcap=softcap,
             kv_splits=_valid_split(
                 max(1, block_k // 1024) if kv_splits is None else kv_splits,
                 block_k, NUM_LANES),

@@ -149,6 +149,7 @@ def _fwd_kernel(
     aug_width: int = 0,
     head_dim: int = 0,
     tri_edge: bool = False,
+    softcap: float | None = None,
 ):
     wl, wr = window if window is not None else (-1, -1)
     need_tail_mask = kv_valid_len != kv_padded_len
@@ -306,6 +307,12 @@ def _fwd_kernel(
                 # lane-aligned, so the int8/fp8 payload never round-trips
                 # VMEM dequantized.
                 s *= k_scale_ref[0, 0, 0, cols][None, :]
+            if softcap is not None:
+                # Gemma-2-style logit soft-capping. The host folded only
+                # ``scale`` into Q (not ×log2 e) so s is in NATURAL units
+                # here; cap, then convert to the kernel's log2 domain.
+                # Bias stays after the cap (the HF Gemma-2 convention).
+                s = (softcap * LOG2E) * jnp.tanh(s * (1.0 / softcap))
             if bias_ref is not None:
                 s += bias_ref[0, 0, rows, cols].astype(jnp.float32) * LOG2E
             if mask is not None:
@@ -518,6 +525,7 @@ def _fwd_causal_resident_kernel(
     causal: bool = True,
     window: tuple[int, int] | None = None,
     lookahead: int | None = None,
+    softcap: float | None = None,
 ):
     """Whole-sequence static-band forward (causal / sliding window / local
     window), one grid step per (batch, head).
@@ -594,6 +602,9 @@ def _fwd_causal_resident_kernel(
 
     def update(st, s, col0, w, up, lo, cb):
         m_prev, l_prev, acc = st
+        if softcap is not None:
+            # natural-units s (host folded scale only); cap then ×log2 e.
+            s = (softcap * LOG2E) * jnp.tanh(s * (1.0 / softcap))
         mask = None
         if up is not None or lo is not None:
             dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
@@ -725,7 +736,7 @@ def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,
     static_argnames=(
         "scale", "causal", "block_q", "block_k", "kv_valid_len",
         "return_lse", "interpret", "num_heads_q", "window", "static_offsets",
-        "kv_splits", "q_splits",
+        "kv_splits", "q_splits", "softcap",
     ),
 )
 def fwd_padded(
@@ -752,6 +763,7 @@ def fwd_padded(
     static_offsets: tuple[int, int] | None = None,
     kv_splits: int | None = None,
     q_splits: int | None = None,
+    softcap: float | None = None,
 ):
     """Launch the forward kernel on pre-padded, canonical-layout inputs.
 
@@ -789,8 +801,11 @@ def fwd_padded(
         q_splits = 1
     # Fold the softmax scale (in the kernel's log2 domain) into Q: one
     # elementwise pass XLA-fuses into the surrounding graph, instead of a
-    # (bq, bk) VPU pass per KV step inside the kernel.
-    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    # (bq, bk) VPU pass per KV step inside the kernel. With softcap the
+    # tanh must see NATURAL-unit scores, so only ``scale`` is folded and
+    # the kernel applies ×log2 e after the cap.
+    q_mult = scale if softcap is not None else scale * LOG2E
+    q = (q.astype(jnp.float32) * q_mult).astype(q.dtype)
     B, Hq, Nqp, D = q.shape
     _, Hkv, Nkp, _ = k.shape
     assert Nqp % block_q == 0 and Nkp % block_k == 0, (Nqp, block_q, Nkp, block_k)
@@ -833,7 +848,7 @@ def fwd_padded(
             n=n, sub_q=rc_sub_q, sub_k=rc_sub_k, head_dim=D,
             aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE,
             kv_valid_len=kv_valid_len, causal=causal, window=window,
-            lookahead=lookahead)
+            lookahead=lookahead, softcap=softcap)
         out_shapes = [jax.ShapeDtypeStruct((B, Hq, n, D), q.dtype)]
         out_specs = [pl.BlockSpec((1, 1, n, D), lambda b, h: (b, h, 0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -1025,7 +1040,7 @@ def fwd_padded(
             mask_value=DEFAULT_MASK_VALUE, window=window,
             static_offs=static_offsets, kv_splits=kv_splits,
             q_splits=q_splits, aug_width=aug_width, head_dim=D,
-            tri_edge=tri_edge,
+            tri_edge=tri_edge, softcap=softcap,
         )
 
     flops_per_prog = 4 * block_q * block_k * D  # QK^T + PV

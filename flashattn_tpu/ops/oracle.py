@@ -32,6 +32,7 @@ def attention_reference(
     kv_offset: int = 0,
     window: tuple[int, int] | None = None,
     segment_ids: tuple[jax.Array, jax.Array] | None = None,
+    logit_softcap: float | None = None,
 ) -> jax.Array:
     """Unfused exact attention in float32, `[B, H, N, D]` layout.
 
@@ -74,6 +75,9 @@ def attention_reference(
 
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
                    precision=jax.lax.Precision.HIGHEST) * scale
+    if logit_softcap is not None:
+        # Gemma-2 convention: cap the scaled logits, then add bias/mask.
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     row_alive = None
