@@ -75,11 +75,44 @@ def timing(tag, *, causal, B=1, H=24, N=4096, D=128, dtype=jnp.bfloat16):
                       "tflops": round(fl / t / 1e12, 2)}), flush=True)
 
 
+def check_softcap(tag, *, causal, B=1, H=8, N=1024, D=64,
+                  dtype=jnp.bfloat16, cap=30.0):
+    q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
+    q = (3.0 * q).astype(dtype)
+    k = (3.0 * k).astype(dtype)
+    kw = dict(causal=causal, logit_softcap=cap)
+    o = flash_attention(q, k, v, **kw)
+    w = attention_reference(*(x.astype(jnp.float32) for x in (q, k, v)),
+                            **kw)
+    md = float(jnp.max(jnp.abs(o.astype(jnp.float32) - w)))
+    g = jax.grad(lambda q, k, v: (
+        flash_attention(q, k, v, **kw).astype(jnp.float32) ** 2).sum(),
+        (0, 1, 2))(q, k, v)
+    gw = jax.grad(lambda q, k, v: (
+        attention_reference(q, k, v, **kw) ** 2).sum(), (0, 1, 2))(
+        *(x.astype(jnp.float32) for x in (q, k, v)))
+    gtol = BWD_TOL[jnp.dtype(dtype)]
+    gmd = gmr = 0.0
+    for a, b in zip(g, gw):
+        d = jnp.abs(a.astype(jnp.float32) - b)
+        gmd = max(gmd, float(jnp.max(d)))
+        gmr = max(gmr, float(jnp.max(d / jnp.maximum(jnp.abs(b), 1.0))))
+    ok = (md < FWD_TOL[jnp.dtype(dtype)].atol
+          and (gmd < gtol.atol or gmr < gtol.rtol))
+    print(json.dumps({"check": tag, "N": N, "D": D, "maxdiff": round(md, 6),
+                      "grad_maxdiff": round(gmd, 6),
+                      "grad_maxrel": round(gmr, 6), "ok": ok}), flush=True)
+    if not ok:
+        sys.exit(f"NUMERICS FAILED: {tag}")
+
+
 if __name__ == "__main__":
     check("seg", causal=False)
     check("seg-causal", causal=True)
     check("seg-causal-gqa", causal=True, H=8, Hkv=2)
     check("seg-unaligned", causal=True, N=1537, H=4)
     check("seg-f32", causal=True, dtype=jnp.float32)
+    check_softcap("softcap-causal-resident", causal=True)
+    check_softcap("softcap-noncausal", causal=False)
     timing("seg_fwd", causal=False)
     timing("seg_causal_fwd", causal=True)

@@ -47,6 +47,8 @@ class TransformerConfig:
     # Mistral-style sliding-window attention: each token attends to at most
     # the previous `sliding_window` tokens (None = full causal attention)
     sliding_window: int | None = None
+    # Gemma-2-style logit soft-capping (None = off)
+    logit_softcap: float | None = None
     dtype: Any = jnp.bfloat16
 
 
@@ -161,11 +163,13 @@ def transformer_forward(params, tokens, cfg: TransformerConfig,
                 q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
                 causal=True, window=window,
                 segment_ids=(None if segment_ids is None
-                             else (segment_ids, segment_ids)))
+                             else (segment_ids, segment_ids)),
+                logit_softcap=cfg.logit_softcap)
             return o.swapaxes(1, 2).astype(q.dtype)
         return flash_attention(
             q, k, v, causal=True, layout="BNHD", interpret=interpret,
             window=window, segment_ids=segment_ids,
+            logit_softcap=cfg.logit_softcap,
         )
 
     for layer in params["layers"]:
@@ -248,6 +252,11 @@ def decode_step(params, cache, token, cfg: TransformerConfig,
     maskbias = jnp.where(live, 0.0, -1e9).astype(jnp.float32)
 
     quantized = "k_scale" in cache
+    if quantized and cfg.logit_softcap:
+        raise ValueError(
+            "logit_softcap is not supported with a quantized KV cache "
+            "(flash_attention_quantized has no softcap path) — decode with "
+            "an unquantized cache or disable the cap")
     new_cache = {"k": [], "v": [], "length": pos + 1}
     if quantized:
         new_cache["k_scale"] = []
@@ -287,7 +296,7 @@ def decode_step(params, cache, token, cfg: TransformerConfig,
             new_cache["v"].append(vc)
             o = flash_attention(
                 q, kc, vc, causal=False, layout="BNHD", bias=maskbias,
-                interpret=interpret,
+                interpret=interpret, logit_softcap=cfg.logit_softcap,
             )
         x = x + jnp.einsum("bnhe,hed->bnd", o, layer["wo"]).astype(x.dtype)
         x = _mlp_block(layer, x)

@@ -54,6 +54,32 @@ def test_lm_attn_impl_equivalence(lm_params):
     assert abs(lf - lx) < 5e-3, (lf, lx)
 
 
+def test_lm_softcap_equivalence():
+    """Gemma-2-class config: logit_softcap wired through the fused engine
+    must agree with the exact-XLA arm, in forward and decode."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(CFG, logit_softcap=20.0)
+    params = init_transformer(jax.random.PRNGKey(3), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(41), (1, 64), 0, 128)
+    lf = float(lm_loss(params, toks, cfg))
+    lx = float(lm_loss(params, toks, cfg, attn_impl="xla"))
+    assert abs(lf - lx) < 5e-3, (lf, lx)
+    # the cap must matter
+    l0 = float(lm_loss(params, toks, CFG))
+    assert abs(lf - l0) > 1e-5
+
+    # decode path honors the cap: one decode step equals the forward column
+    cache = init_kv_cache(cfg, 1, 32)
+    logits_f = transformer_forward(params, toks[:, :1], cfg)
+    logits_d, cache = decode_step(params, cache, toks[:, 0], cfg)
+    assert float(jnp.max(jnp.abs(logits_d - logits_f[:, 0]))) < 2e-3
+
+    qcache = init_kv_cache(cfg, 1, 32, quant_dtype=jnp.int8)
+    with pytest.raises(ValueError, match="softcap"):
+        decode_step(params, qcache, toks[:, 0], cfg)
+
+
 def test_packed_batch_matches_separate(lm_params):
     """Packed-batch golden test: two documents packed into one row (with
     segment_ids) produce exactly the per-document logits and a loss equal to
