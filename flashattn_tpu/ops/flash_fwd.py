@@ -419,13 +419,15 @@ def _fwd_kernel(
 
     @pl.when(store_pred)
     def _store():
-        # Packed-sequence dead rows (a q row whose segment matches no kv
-        # token, e.g. padding) see only mask_value scores, so p = exp2(0) = 1
-        # accumulates garbage mean-of-V: zero them at store. The row is dead
-        # iff its running max never rose above the mask level. (The backward
-        # needs no analogue: its p = exp(mask_value − LN2·mask_value·…)
-        # underflows to exactly 0 for dead rows via the stored LSE.)
-        if has_seg:
+        # Dead rows — a q row with NO unmasked kv position (padding segment,
+        # window out of reach at Nq > Nk, ring chunk above the diagonal) —
+        # see only mask_value scores, so p = exp2(0) = 1 accumulates garbage
+        # mean-of-V: zero them at store (the package-wide convention, shared
+        # with the oracle). The row is dead iff its running max never rose
+        # above the mask level. (The backward needs no analogue: its
+        # p = exp(mask_value − LN2·mask_value·…) underflows to exactly 0 for
+        # dead rows via the stored LSE.)
+        if masking:
             dead = m_scr[:, :1] <= mask_value * 0.5
 
             def deaden(x):
@@ -669,19 +671,28 @@ def _fwd_causal_resident_kernel(
     for qp in range(n_chains):
         m, l, acc = state[qp]
         rows = slice(qp * sub_q, (qp + 1) * sub_q)
+        # Dead rows (window out of reach / past the valid KV tail within a
+        # live chain): running max never rose above the mask level — store
+        # zeros and the finite very-negative LSE, the package convention
+        # (matches the flat kernel's store and the oracle).
+        dead = m[:, :1] <= mask_value * 0.5
         if aug_width:
             lcol = acc[:, head_dim:]
             l_safe = jnp.where(lcol == 0.0, 1.0, lcol)[:, :1]
-            o_ref[0, 0, rows, :] = (acc[:, :head_dim] * (1.0 / l_safe)
-                                    ).astype(o_ref.dtype)
+            o_ref[0, 0, rows, :] = jnp.where(
+                dead, 0.0, acc[:, :head_dim] * (1.0 / l_safe)
+            ).astype(o_ref.dtype)
             if lse_ref is not None:
-                lse_ref[0, 0, rows, :] = m * LN2 + jnp.log(l_safe)
+                lse_ref[0, 0, rows, :] = jnp.where(
+                    dead, LN2 * mask_value, m * LN2 + jnp.log(l_safe))
         else:
             l_safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, 0, rows, :] = (acc * (1.0 / l_safe[:, :1])
-                                    ).astype(o_ref.dtype)
+            o_ref[0, 0, rows, :] = jnp.where(
+                dead, 0.0, acc * (1.0 / l_safe[:, :1])
+            ).astype(o_ref.dtype)
             if lse_ref is not None:
-                lse_ref[0, 0, rows, :] = m * LN2 + jnp.log(l_safe)
+                lse_ref[0, 0, rows, :] = jnp.where(
+                    dead, LN2 * mask_value, m * LN2 + jnp.log(l_safe))
 
 
 # Whole-sequence budget for the resident-causal path: the unrolled chain

@@ -96,7 +96,10 @@ def attention_reference(
         if segment_ids is not None:
             seg_q, seg_kv = segment_ids
             keep = keep & (seg_q[:, None, :, None] == seg_kv[:, None, None, :])
-            row_alive = keep.any(axis=-1, keepdims=True)
+        # Package-wide dead-row convention: a q row with no unmasked kv
+        # position (padding segment, window out of reach, chunk above the
+        # causal diagonal) outputs exact zeros — matching the fused kernels.
+        row_alive = keep.any(axis=-1, keepdims=True)
         s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhqk,bhkd->bhqd", p, vf,
