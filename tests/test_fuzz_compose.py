@@ -52,9 +52,24 @@ def _sample_case(rng):
                       1 if rng.random() < 0.5 else Hq, Nq, Nk)
     softcap = float(rng.choice([15.0, 50.0])) if rng.random() < 0.3 else None
     dtype = jnp.float32 if rng.random() < 0.6 else jnp.bfloat16
+    # ring-style absolute offsets (compile-time ints here): shift the
+    # causal/window masks; sampled so some (q_off, kv_off) pairs put whole
+    # row ranges above/below the band (dead rows / dead tiles).
+    q_off = kv_off = 0
+    if (causal or window is not None) and seg is None and rng.random() < 0.4:
+        q_off = int(rng.integers(0, 3)) * 128
+        kv_off = int(rng.integers(0, 3)) * 128
+    layout = "BNHD" if rng.random() < 0.25 else "BHND"
+    if rng.random() < 0.1:
+        Nq = int(rng.integers(1, 17))  # decode-class tiny Q
+        causal = False
+        seg = None
+        bias_shape = None  # was sampled at the old Nq
+        q_off = kv_off = 0
     return dict(B=B, Hq=Hq, Hkv=Hkv, D=D, Nq=Nq, Nk=Nk, causal=causal,
                 window=window, seg=seg, bias_shape=bias_shape,
-                softcap=softcap, dtype=dtype)
+                softcap=softcap, dtype=dtype, q_off=q_off, kv_off=kv_off,
+                layout=layout)
 
 
 @pytest.mark.parametrize("seed", range(24))
@@ -79,21 +94,31 @@ def test_fuzz_composition(seed):
     want = attention_reference(
         *f32, bias=bias,
         segment_ids=None if c["seg"] is None else (c["seg"], c["seg"]),
-        **kw)
-    got = flash_attention(q, k, v, bias=bias, segment_ids=c["seg"], **kw)
+        q_offset=c["q_off"], kv_offset=c["kv_off"], **kw)
+
+    def to_layout(x):
+        return x.swapaxes(1, 2) if c["layout"] == "BNHD" else x
+
+    got = flash_attention(
+        to_layout(q), to_layout(k), to_layout(v), bias=bias,
+        segment_ids=c["seg"], layout=c["layout"],
+        q_offset=c["q_off"], kv_offset=c["kv_off"], **kw)
+    got = to_layout(got)  # swapaxes is its own inverse
     assert_close(got.astype(jnp.float32), want,
                  FWD_TOL[jnp.dtype(c["dtype"])], str(desc))
 
     if seed % 3 == 0 and c["dtype"] == jnp.float32:
         def loss_f(q, k, v):
             return jnp.sum(flash_attention(
-                q, k, v, bias=bias, segment_ids=c["seg"], **kw) ** 2)
+                q, k, v, bias=bias, segment_ids=c["seg"],
+                q_offset=c["q_off"], kv_offset=c["kv_off"], **kw) ** 2)
 
         def loss_o(q, k, v):
             return jnp.sum(attention_reference(
                 q, k, v, bias=bias,
                 segment_ids=None if c["seg"] is None
-                else (c["seg"], c["seg"]), **kw) ** 2)
+                else (c["seg"], c["seg"]),
+                q_offset=c["q_off"], kv_offset=c["kv_off"], **kw) ** 2)
 
         g = jax.grad(loss_f, (0, 1, 2))(q, k, v)
         w = jax.grad(loss_o, (0, 1, 2))(*f32)
