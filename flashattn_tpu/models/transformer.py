@@ -547,7 +547,8 @@ def make_sharded_train_step(mesh, cfg: TransformerConfig, *, lr=1e-3,
         loss_sum = jax.lax.psum(jnp.sum(jnp.where(valid, -ll, 0.0)),
                                 (*batch_axes, "seq"))
         count = jax.lax.psum(jnp.sum(valid), (*batch_axes, "seq"))
-        return loss_sum / count
+        # all-length-1 documents can make every position a boundary
+        return loss_sum / jnp.maximum(count, 1)
 
     def step(params, opt_state, tokens, seg=None, positions=None):
         loss, grads = jax.value_and_grad(local_loss)(

@@ -31,6 +31,7 @@ from flashattn_tpu.ops.flash import (
     _dispatch_dtype,
     _flash_core_fwd_impl,
     _pad_axis,
+    _int_zero_cotangent,
     _pad_head_dim,
     _round_up,
     _seg_tiles,
@@ -265,11 +266,7 @@ def _ring_core_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
         dv_acc = jax.lax.ppermute(dv_acc, axis_name, _perm(n_dev))
 
     def _seg_ct(s):
-        if s is None:
-            return None
-        import numpy as np
-
-        return np.zeros(s.shape, dtype=jax.dtypes.float0)
+        return None if s is None else _int_zero_cotangent(s)
 
     return (dq.astype(q.dtype), dk_acc.astype(k.dtype),
             dv_acc.astype(v.dtype), _seg_ct(seg_q), _seg_ct(seg_kv))

@@ -209,6 +209,23 @@ def test_packed_sharded_loss_matches_single_device(lm_params):
     assert abs(float(loss_sharded) - float(want)) < 1e-5
 
 
+def test_packed_all_boundary_loss_finite(lm_params):
+    """Degenerate packing — every document is length 1, so every position is
+    a boundary and zero positions carry loss. The sharded step must return a
+    finite loss (0/max(0,1) = 0) and finite params, not NaN."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(data=2, seq=2)
+    step, _, _ = make_sharded_train_step(mesh, CFG, with_segment_ids=True)
+    opt = adamw_init(lm_params)
+    toks = jax.random.randint(jax.random.PRNGKey(41), (2, 64), 0, 128)
+    seg = jnp.broadcast_to(jnp.arange(64)[None], (2, 64)).astype(jnp.int32)
+    params, _, loss = step(lm_params, opt, toks, seg)
+    assert float(loss) == 0.0
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree_util.tree_leaves(params))
+
+
 def test_packed_zigzag_rejected():
     mesh = make_mesh(seq=4)
     with pytest.raises(ValueError, match="contiguous"):
