@@ -5,6 +5,10 @@ causal/window rates at the kernel-bench shape class, printing one JSON line
 per point. Run after kernel changes, before refreshing the committed sweeps.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 

@@ -8,6 +8,10 @@ bugs (NOTES.md). Validates numerics vs the oracle and times the route
 against the single-device fused kernel for reference.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 

@@ -8,6 +8,10 @@ boundaries are runtime data, so the resident route is excluded by design).
 Prints one JSON line per point; non-zero exit on any numerics failure.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import sys
 
