@@ -36,12 +36,14 @@ run() { # run <outfile> <args...>
   mv "$OUT/$f.tmp" "$OUT/$f"
 }
 
-run attn_fwd_bf16.jsonl               --mode fwd
+# Stalest first: the causal/window/bwd sweeps predate the resident kernels;
+# the noncausal fwd numbers changed least since round 1.
 run attn_fwd_causal_bf16.jsonl        --mode fwd --causal
-run attn_fwd_bwd_bf16.jsonl           --mode fwd_bwd
 run attn_fwd_bwd_causal_bf16.jsonl    --mode fwd_bwd --causal
+run attn_fwd_bwd_bf16.jsonl           --mode fwd_bwd
 run attn_fwd_window2048_bf16.jsonl    --mode fwd     --window 2048
 run attn_fwd_bwd_window2048_bf16.jsonl --mode fwd_bwd --window 2048
+run attn_fwd_bf16.jsonl               --mode fwd
 run attn_fwd_bnhd_bf16.jsonl          --mode fwd --layout BNHD
 run attn_fwd_unaligned_bf16.jsonl     --mode fwd --unaligned --impls ours,jaxfa
 run attn_fwd_fp16.jsonl               --mode fwd --dtype float16 --quick --impls ours,xla

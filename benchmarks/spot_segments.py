@@ -80,10 +80,15 @@ def timing(tag, *, causal, B=1, H=24, N=4096, D=128, dtype=jnp.bfloat16):
 
 
 def check_softcap(tag, *, causal, B=1, H=8, N=1024, D=64,
-                  dtype=jnp.bfloat16, cap=30.0):
+                  dtype=jnp.bfloat16, cap=8.0):
+    # Exercise the tanh nonlinearity via a SMALL cap at near-unit inputs
+    # (tanh argument reaches ±1.5), not via large inputs: ×3-scaled q/k
+    # push the bf16 gradient error past BWD_TOL *regardless of softcap*
+    # (measured: no-cap ×3 gives grad_maxrel 0.86, softcap actually bounds
+    # it to 0.17 — both over the 0.08 gate calibrated for unit scale).
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
-    q = (3.0 * q).astype(dtype)
-    k = (3.0 * k).astype(dtype)
+    q = (1.5 * q).astype(dtype)
+    k = (1.5 * k).astype(dtype)
     kw = dict(causal=causal, logit_softcap=cap)
     o = flash_attention(q, k, v, **kw)
     w = attention_reference(*(x.astype(jnp.float32) for x in (q, k, v)),

@@ -308,11 +308,14 @@ def _fwd_kernel(
                 # VMEM dequantized.
                 s *= k_scale_ref[0, 0, 0, cols][None, :]
             if softcap is not None:
-                # Gemma-2-style logit soft-capping. The host folded only
-                # ``scale`` into Q (not ×log2 e) so s is in NATURAL units
-                # here; cap, then convert to the kernel's log2 domain.
-                # Bias stays after the cap (the HF Gemma-2 convention).
-                s = (softcap * LOG2E) * jnp.tanh(s * (1.0 / softcap))
+                # Gemma-2-style logit soft-capping. With softcap the host
+                # folds NOTHING into Q (a bf16 re-round of scaled Q costs
+                # ~2× gradient error); ``scale`` rides inside the tanh
+                # argument in f32 — same op count, and the capped logits
+                # match the backward recompute exactly. Bias stays after
+                # the cap (the HF Gemma-2 convention).
+                cap, sc = softcap
+                s = (cap * LOG2E) * jnp.tanh(s * (sc / cap))
             if bias_ref is not None:
                 s += bias_ref[0, 0, rows, cols].astype(jnp.float32) * LOG2E
             if mask is not None:
@@ -605,8 +608,10 @@ def _fwd_causal_resident_kernel(
     def update(st, s, col0, w, up, lo, cb):
         m_prev, l_prev, acc = st
         if softcap is not None:
-            # natural-units s (host folded scale only); cap then ×log2 e.
-            s = (softcap * LOG2E) * jnp.tanh(s * (1.0 / softcap))
+            # raw q·k (host folds nothing with softcap — see the flat
+            # kernel's note); scale folds into the tanh argument.
+            cap, sc = softcap
+            s = (cap * LOG2E) * jnp.tanh(s * (sc / cap))
         mask = None
         if up is not None or lo is not None:
             dmat = (jax.lax.broadcasted_iota(jnp.int32, (sub_q, w), 1)
@@ -812,11 +817,15 @@ def fwd_padded(
         q_splits = 1
     # Fold the softmax scale (in the kernel's log2 domain) into Q: one
     # elementwise pass XLA-fuses into the surrounding graph, instead of a
-    # (bq, bk) VPU pass per KV step inside the kernel. With softcap the
-    # tanh must see NATURAL-unit scores, so only ``scale`` is folded and
-    # the kernel applies ×log2 e after the cap.
-    q_mult = scale if softcap is not None else scale * LOG2E
-    q = (q.astype(jnp.float32) * q_mult).astype(q.dtype)
+    # (bq, bk) VPU pass per KV step inside the kernel. With softcap, Q is
+    # NOT folded at all: re-rounding scale·Q to bf16 costs ~2× gradient
+    # error through the tanh, so the kernel folds ``scale`` into the tanh
+    # argument instead (free — it merges into the existing constant) and
+    # applies ×log2 e after the cap. The kernels receive (cap, scale).
+    if softcap is not None:
+        softcap = (softcap, scale)
+    else:
+        q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     B, Hq, Nqp, D = q.shape
     _, Hkv, Nkp, _ = k.shape
     assert Nqp % block_q == 0 and Nkp % block_k == 0, (Nqp, block_q, Nkp, block_k)
