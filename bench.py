@@ -17,6 +17,9 @@ import jax.numpy as jnp
 
 from flashattn_tpu.utils.platform import enable_compilation_cache
 
+from flashattn_tpu.utils.tpu_lock import acquire_tpu_lock
+
+acquire_tpu_lock()  # one TPU process at a time (honest timing)
 enable_compilation_cache()
 
 

@@ -28,15 +28,22 @@ import jax.numpy as jnp
 
 from flashattn_tpu.utils.platform import enable_compilation_cache
 
+from flashattn_tpu.utils.tpu_lock import acquire_tpu_lock
+
+acquire_tpu_lock()  # one TPU process at a time (honest timing)
 enable_compilation_cache()
 
 from flashattn_tpu import flash_attention
 from flashattn_tpu.ops.oracle import attention_reference
+from flashattn_tpu.ops.reference import flash_attention_reference
+from flashattn_tpu.utils import platform
 from flashattn_tpu.utils.testing import FWD_TOL, make_qkv
-from flashattn_tpu.utils.timing import attention_flops, time_chained
+from flashattn_tpu.utils.timing import attention_flops, time_chained_stats
 
-# Shapes above this score-matrix size skip the in-bench oracle check (the
-# exact softmax materializes [N, Nk] f32 per head).
+# Shapes above this score-matrix size switch the in-bench oracle from the
+# unfused exact softmax (materializes [N, Nk] f32 per head) to the
+# O(N)-memory tiled golden model (ops/reference.py) — every row gets a
+# non-null maxdiff gate regardless of N.
 _ORACLE_MAX_SCORES = 8192 * 8192
 
 
@@ -44,19 +51,24 @@ def bench_maxdiff(fn, q, k, v, causal, layout, window=None, dtype=None):
     """Forward max-abs diff vs the exact-softmax oracle on (a head-slice
     of) the same inputs — every bench point doubles as an on-chip
     integration test, the reference's practice (bench_with_sdpa.py:140-141;
-    SURVEY.md §4.4). Returns None when the oracle would not fit."""
+    SURVEY.md §4.4)."""
     nq_ax = 2 if layout == "BHND" else 1
-    if q.shape[nq_ax] * k.shape[nq_ax] > _ORACLE_MAX_SCORES:
-        return None
+    big = q.shape[nq_ax] * k.shape[nq_ax] > _ORACLE_MAX_SCORES
     h_ax = 1 if layout == "BHND" else 2
     sl = [slice(None)] * 4
-    sl[h_ax] = slice(0, min(2, q.shape[h_ax]))  # 2 heads: systematic bugs
+    # 2 heads catch systematic bugs; 1 head for golden-model big-N shapes.
+    sl[h_ax] = slice(0, 1 if big else min(2, q.shape[h_ax]))
     qs, ks, vs = q[tuple(sl)], k[tuple(sl)], v[tuple(sl)]
     o = fn(qs, ks, vs, causal, layout)
     if layout == "BNHD":
         qs, ks, vs, o = (x.swapaxes(1, 2) for x in (qs, ks, vs, o))
-    w = attention_reference(*(x.astype(jnp.float32) for x in (qs, ks, vs)),
-                            causal=causal, window=window)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (qs, ks, vs))
+    if big:
+        w = flash_attention_reference(qf, kf, vf, causal=causal,
+                                      window=window,
+                                      block_q=512, block_k=1024)
+    else:
+        w = attention_reference(qf, kf, vf, causal=causal, window=window)
     return float(jnp.max(jnp.abs(o.astype(jnp.float32) - w)))
 
 
@@ -97,6 +109,27 @@ def ours(q, k, v, causal, layout="BHND", window=None):
 
 IMPLS = {"xla": xla_sdpa, "jaxfa": jax_pallas_fa, "ours": ours}
 
+_SESSION_ROOFLINE = []  # measured once per process; [] = not yet, [None] = off-TPU
+
+
+def session_roofline_tflops():
+    """Same-session MXU peak (big chained XLA matmul, bf16) — the
+    denominator for every ``mfu`` field. Measured live every sweep so
+    %-of-roofline claims are anchored to THIS session's chip + tunnel
+    (the reference measures its roofline at runtime every run,
+    GPU_peak_perf_test.py:41-61)."""
+    if not _SESSION_ROOFLINE:
+        if platform.on_tpu():
+            from flashattn_tpu.ops.roofline import (
+                measure_xla_matmul_peak_tflops,
+            )
+
+            _SESSION_ROOFLINE.append(
+                round(measure_xla_matmul_peak_tflops(), 1))
+        else:
+            _SESSION_ROOFLINE.append(None)
+    return _SESSION_ROOFLINE[0]
+
 
 def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
               iters=32, layout="BHND", window=None):
@@ -122,8 +155,9 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
                                       ).astype(qq.dtype)
 
     try:
-        t = time_chained(step, q, consts=(k, v), iters=iters,
-                         warmup_iters=max(2, iters // 4), repeats=2)
+        stats = time_chained_stats(step, q, consts=(k, v), iters=iters,
+                                   warmup_iters=max(2, iters // 4), repeats=5)
+        t = stats["per_iter"]
         fwd_only = lambda qq, kk, vv, c, lo: fn(qq, kk, vv, c, lo, **kw)
         maxdiff = bench_maxdiff(fwd_only, q, k, v, causal, layout,
                                 window=window)
@@ -133,18 +167,35 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
                           "causal": causal, "mode": mode,
                           "error": type(e).__name__}), flush=True)
         return None
-    flops = attention_flops(B, H, N, N, D, causal=causal, mode=mode)
+    flops = attention_flops(B, H, N, N, D, causal=causal, mode=mode,
+                            window=window)
+    tflops = flops / t / 1e12
+    roofline = session_roofline_tflops()
     rec = {
         "impl": impl_name, "B": B, "H": H, "N": N, "D": D,
         "causal": causal, "mode": mode, "dtype": str(jnp.dtype(dtype)),
         "layout": layout,
-        "ms": round(t * 1e3, 4), "tflops": round(flops / t / 1e12, 2),
+        "ms": round(t * 1e3, 4), "tflops": round(tflops, 2),
+        # dispersion of the 5 differenced timing samples, (max−min)/median —
+        # a point whose spread exceeds the claimed improvement is noise
+        "spread_pct": round(stats["spread"] * 100, 1),
         "maxdiff": round(maxdiff, 6) if maxdiff is not None else None,
         "peak_mem_mb": round(mem / 2**20, 1) if mem else None,
     }
+    if roofline is not None:
+        rec["roofline_tflops"] = roofline
+        if impl_name == "ours":
+            rec["mfu"] = round(tflops / roofline, 3)
     if window is not None:
         rec["window"] = list(window)
     print(json.dumps(rec), flush=True)
+    if roofline is not None and tflops > roofline:
+        # a row above the same-session roofline is a measurement bug, not
+        # a fast kernel (round-2 postmortem: 216 TFLOP/s > 190 roofline)
+        print(json.dumps({"warning": "row exceeds same-session roofline",
+                          "impl": impl_name, "N": N, "D": D,
+                          "tflops": round(tflops, 2),
+                          "roofline": roofline}), flush=True)
     tol = FWD_TOL.get(jnp.dtype(dtype))
     if (impl_name == "ours" and maxdiff is not None and tol is not None
             and maxdiff > tol.atol):

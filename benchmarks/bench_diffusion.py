@@ -27,6 +27,9 @@ from flashattn_tpu.models.unet import UNetConfig, init_unet, unet_forward
 from flashattn_tpu.utils.platform import enable_compilation_cache
 from flashattn_tpu.utils.timing import time_chained
 
+from flashattn_tpu.utils.tpu_lock import acquire_tpu_lock
+
+acquire_tpu_lock()  # one TPU process at a time (honest timing)
 enable_compilation_cache()
 
 

@@ -36,6 +36,12 @@ run() { # run <outfile> <args...>
   mv "$OUT/$f.tmp" "$OUT/$f"
 }
 
+# Roofline FIRST, same session as the sweeps it anchors (reference measures
+# its roofline live every run, GPU_peak_perf_test.py:41-61).
+echo "=== roofline" >&2
+timeout 1200 python benchmarks/bench_roofline.py --append || \
+  { sleep 20; timeout 1200 python benchmarks/bench_roofline.py --append; }
+
 # Stalest first: the causal/window/bwd sweeps predate the resident kernels;
 # the noncausal fwd numbers changed least since round 1.
 run attn_fwd_causal_bf16.jsonl        --mode fwd --causal

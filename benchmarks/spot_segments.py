@@ -20,11 +20,14 @@ import jax.numpy as jnp
 
 from flashattn_tpu.utils.platform import enable_compilation_cache
 
+from flashattn_tpu.utils.tpu_lock import acquire_tpu_lock
+
+acquire_tpu_lock()  # one TPU process at a time (honest timing)
 enable_compilation_cache()
 
 from flashattn_tpu import flash_attention
 from flashattn_tpu.ops.oracle import attention_reference
-from flashattn_tpu.utils.testing import BWD_TOL, FWD_TOL, make_qkv
+from flashattn_tpu.utils.testing import BWD_TOL, FWD_TOL, grad_gate, make_qkv
 from flashattn_tpu.utils.timing import attention_flops, time_chained
 
 
@@ -49,19 +52,13 @@ def check(tag, *, causal, B=1, H=8, Hkv=None, N=1024, D=64,
     gw = jax.grad(lambda q, k, v: (
         attention_reference(q, k, v, segment_ids=(seg, seg), **kw) ** 2
     ).sum(), (0, 1, 2))(*(x.astype(jnp.float32) for x in (q, k, v)))
-    gtol = BWD_TOL[jnp.dtype(dtype)]
-    gmd = gmr = 0.0
-    for a, b in zip(g, gw):
-        d = jnp.abs(a.astype(jnp.float32) - b)
-        gmd = max(gmd, float(jnp.max(d)))
-        gmr = max(gmr, float(jnp.max(d / jnp.maximum(jnp.abs(b), 1.0))))
-    ok = (md < FWD_TOL[jnp.dtype(dtype)].atol
-          and (gmd < gtol.atol or gmr < gtol.rtol))
+    gok, why, gmd, gmr = grad_gate(g, gw, BWD_TOL[jnp.dtype(dtype)])
+    ok = gok and md < FWD_TOL[jnp.dtype(dtype)].atol
     print(json.dumps({"check": tag, "N": N, "D": D, "maxdiff": round(md, 6),
                       "grad_maxdiff": round(gmd, 6),
                       "grad_maxrel": round(gmr, 6), "ok": ok}), flush=True)
     if not ok:
-        sys.exit(f"NUMERICS FAILED: {tag}")
+        sys.exit(f"NUMERICS FAILED: {tag}: {why or 'fwd maxdiff'}")
 
 
 def timing(tag, *, causal, B=1, H=24, N=4096, D=128, dtype=jnp.bfloat16):
@@ -100,19 +97,13 @@ def check_softcap(tag, *, causal, B=1, H=8, N=1024, D=64,
     gw = jax.grad(lambda q, k, v: (
         attention_reference(q, k, v, **kw) ** 2).sum(), (0, 1, 2))(
         *(x.astype(jnp.float32) for x in (q, k, v)))
-    gtol = BWD_TOL[jnp.dtype(dtype)]
-    gmd = gmr = 0.0
-    for a, b in zip(g, gw):
-        d = jnp.abs(a.astype(jnp.float32) - b)
-        gmd = max(gmd, float(jnp.max(d)))
-        gmr = max(gmr, float(jnp.max(d / jnp.maximum(jnp.abs(b), 1.0))))
-    ok = (md < FWD_TOL[jnp.dtype(dtype)].atol
-          and (gmd < gtol.atol or gmr < gtol.rtol))
+    gok, why, gmd, gmr = grad_gate(g, gw, BWD_TOL[jnp.dtype(dtype)])
+    ok = gok and md < FWD_TOL[jnp.dtype(dtype)].atol
     print(json.dumps({"check": tag, "N": N, "D": D, "maxdiff": round(md, 6),
                       "grad_maxdiff": round(gmd, 6),
                       "grad_maxrel": round(gmr, 6), "ok": ok}), flush=True)
     if not ok:
-        sys.exit(f"NUMERICS FAILED: {tag}")
+        sys.exit(f"NUMERICS FAILED: {tag}: {why or 'fwd maxdiff'}")
 
 
 if __name__ == "__main__":

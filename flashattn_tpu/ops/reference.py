@@ -43,9 +43,13 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "has_bias")
+    jax.jit,
+    static_argnames=(
+        "causal", "scale", "block_q", "block_k", "has_bias", "window"
+    ),
 )
-def _fwd_tiled(q, k, v, bias, *, causal, scale, block_q, block_k, has_bias):
+def _fwd_tiled(q, k, v, bias, *, causal, scale, block_q, block_k, has_bias,
+               window=None):
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     Tq = -(-Nq // block_q)
@@ -55,17 +59,19 @@ def _fwd_tiled(q, k, v, bias, *, causal, scale, block_q, block_k, has_bias):
     qf = _pad_to(q.astype(jnp.float32), 2, block_q) * scale
     kf = _pad_to(k.astype(jnp.float32), 2, block_k)
     vf = _pad_to(v.astype(jnp.float32), 2, block_k)
-    if has_bias:
-        bf = jnp.broadcast_to(bias.astype(jnp.float32), (B, H, Nq, Nk))
-        bf = _pad_to(_pad_to(bf, 2, block_q), 3, block_k)
-    else:
-        bf = jnp.zeros((B, H, Nqp, Nkp), jnp.float32)
-
-    # [Tq, B, H, block, ...] tile-major arrangement for scan.
+    # [Tq, B, H, block, ...] tile-major arrangement for scan. The zero-bias
+    # path materializes NO [Nq, Nk] tensor — this model is the O(N)-memory
+    # oracle for shapes where the unfused oracle cannot fit.
     q_tiles = qf.reshape(B, H, Tq, block_q, D).transpose(2, 0, 1, 3, 4)
     k_tiles = kf.reshape(B, H, Tk, block_k, D).transpose(2, 0, 1, 3, 4)
     v_tiles = vf.reshape(B, H, Tk, block_k, D).transpose(2, 0, 1, 3, 4)
-    b_tiles = bf.reshape(B, H, Tq, block_q, Tk, block_k).transpose(2, 4, 0, 1, 3, 5)
+    if has_bias:
+        bf = jnp.broadcast_to(bias.astype(jnp.float32), (B, H, Nq, Nk))
+        bf = _pad_to(_pad_to(bf, 2, block_q), 3, block_k)
+        b_tiles = bf.reshape(
+            B, H, Tq, block_q, Tk, block_k).transpose(2, 4, 0, 1, 3, 5)
+    else:
+        b_tiles = jnp.zeros((Tq, Tk, 1, 1, 1, 1), jnp.float32)
 
     kv_valid = jnp.arange(Nkp) < Nk  # mask padded KV columns
 
@@ -81,10 +87,17 @@ def _fwd_tiled(q, k, v, bias, *, causal, scale, block_q, block_k, has_bias):
                 kv_valid, kv_idx * block_k, block_k
             )
             mask = jnp.broadcast_to(col_valid[None, :], (block_q, block_k))
-            if causal:
+            if causal or window is not None:
                 q_pos = q_idx * block_q + jnp.arange(block_q)[:, None]
                 kv_pos = kv_idx * block_k + jnp.arange(block_k)[None, :]
-                mask = mask & (kv_pos <= q_pos)
+                if causal:
+                    mask = mask & (kv_pos <= q_pos)
+                if window is not None:
+                    wl, wr = window
+                    if wl >= 0:
+                        mask = mask & (kv_pos >= q_pos - wl)
+                    if wr >= 0:
+                        mask = mask & (kv_pos <= q_pos + wr)
             s = jnp.where(mask[None, None], s, DEFAULT_MASK_VALUE)
             # Online softmax update (reference fwd hot loop kernel_fp16.cu:381-508).
             m_cur = jnp.max(s, axis=-1)
@@ -128,6 +141,7 @@ def flash_attention_reference(
     block_q: int = 128,
     block_k: int = 128,
     return_lse: bool = False,
+    window: tuple[int, int] | None = None,
 ):
     """Tiled online-softmax forward (golden model). `[B,H,N,D]` layout.
 
@@ -149,6 +163,7 @@ def flash_attention_reference(
         block_q=min(block_q, max(q.shape[2], 1)),
         block_k=min(block_k, max(k.shape[2], 1)),
         has_bias=bias is not None,
+        window=window,
     )
     if return_lse:
         return out.o, out.lse

@@ -83,3 +83,28 @@ def measure_mxu_peak_tflops(
     from flashattn_tpu.ops.roofline import N_CHAINS as _nc
     flops = 2.0 * size ** 3 * iters * _nc
     return flops / t / 1e12
+
+
+def measure_xla_matmul_peak_tflops(
+    *, size: int = 1024, dtype=jnp.bfloat16, repeats: int = 5,
+) -> float:
+    """MXU peak via a big chained XLA matmul (no Pallas) — the second
+    roofline arm. N_CHAINS independent dependency chains keep the MXU
+    pipeline full (a single chained dot is latency-bound: 151 vs 191
+    TFLOP/s measured on v5e)."""
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (size, size), jnp.float32).astype(dtype)
+    b = jax.random.normal(key, (size, size), jnp.float32).astype(dtype)
+
+    def step(c, a, b):
+        # c: [N_CHAINS, size, size] f32; a' = a + 1e-30·c defeats hoisting
+        # while keeping magnitudes fixed at |a @ b|.
+        x = a[None] + (1e-30 * c).astype(a.dtype)
+        return jnp.einsum("cij,jk->cik", x, b,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
+
+    c0 = jnp.zeros((N_CHAINS, size, size), jnp.float32)
+    t = time_chained(step, c0, consts=(a, b), iters=64, warmup_iters=16,
+                     repeats=repeats)
+    return 2.0 * size ** 3 * N_CHAINS / t / 1e12

@@ -64,15 +64,51 @@ def make_qkv(
     return q, k, v
 
 
-def assert_close(actual, expected, tol: Tolerance, name: str = "out"):
-    """Assert max-abs and relative error within tolerance; report both."""
+def check_close(actual, expected, tol: Tolerance, name: str = "out"):
+    """Per-element ``|a−e| ≤ atol + rtol·|e|`` check (the numpy.allclose
+    criterion — no whole-tensor OR-escape where a large-magnitude systematic
+    error passes on rtol alone). Returns (ok, message)."""
     a = np.asarray(actual, dtype=np.float32)
     e = np.asarray(expected, dtype=np.float32)
-    assert a.shape == e.shape, f"{name}: shape {a.shape} != {e.shape}"
-    abs_err = np.max(np.abs(a - e)) if a.size else 0.0
-    denom = np.maximum(np.abs(e), 1.0)
-    rel_err = np.max(np.abs(a - e) / denom) if a.size else 0.0
-    assert abs_err <= tol.atol or rel_err <= tol.rtol, (
-        f"{name}: max_abs_err={abs_err:.3e} (atol {tol.atol:.1e}), "
-        f"max_rel_err={rel_err:.3e} (rtol {tol.rtol:.1e})"
+    if a.shape != e.shape:
+        return False, f"{name}: shape {a.shape} != {e.shape}"
+    if a.size == 0:
+        return True, f"{name}: empty"
+    err = np.abs(a - e)
+    budget = tol.atol + tol.rtol * np.abs(e)
+    excess = err - budget
+    worst = int(np.argmax(excess))
+    ok = bool(excess.flat[worst] <= 0.0)
+    msg = (
+        f"{name}: max_abs_err={err.max():.3e}, worst element "
+        f"|a−e|={err.flat[worst]:.3e} vs budget {budget.flat[worst]:.3e} "
+        f"(atol {tol.atol:.1e} + rtol {tol.rtol:.1e}·|e|, "
+        f"e={e.flat[worst]:.3e}) at flat index {worst}"
     )
+    return ok, msg
+
+
+def assert_close(actual, expected, tol: Tolerance, name: str = "out"):
+    """Assert per-element ``|a−e| ≤ atol + rtol·|e|``."""
+    ok, msg = check_close(actual, expected, tol, name)
+    assert ok, msg
+
+
+def grad_gate(grads, grads_want, tol: Tolerance,
+              names=("dq", "dk", "dv")):
+    """Per-element gate over a tuple of gradient tensors. Returns
+    ``(ok, why, grad_maxdiff, grad_maxrel)`` — the maxdiff/maxrel fields are
+    reported for continuity with the reference's printed diffs
+    (precision_test.py:66-98); the pass/fail decision is per-element."""
+    gmd = gmr = 0.0
+    ok, why = True, ""
+    for name, a, b in zip(names, grads, grads_want):
+        a = np.asarray(a, dtype=np.float32)
+        b = np.asarray(b, dtype=np.float32)
+        d = np.abs(a - b)
+        gmd = max(gmd, float(d.max()))
+        gmr = max(gmr, float((d / np.maximum(np.abs(b), 1.0)).max()))
+        gok, msg = check_close(a, b, tol, name)
+        if not gok:
+            ok, why = False, (why + "; " + msg if why else msg)
+    return ok, why, gmd, gmr

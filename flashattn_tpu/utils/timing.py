@@ -27,20 +27,34 @@ import jax
 import jax.numpy as jnp
 
 
-def time_chained(
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def time_chained_stats(
     step: Callable,
     carry0,
     *,
     consts=(),
     iters: int = 64,
     warmup_iters: int = 8,
-    repeats: int = 3,
-) -> float:
-    """Seconds per iteration of ``carry = step(carry, *consts)`` on device.
+    repeats: int = 5,
+) -> dict:
+    """Per-iteration timing statistics of ``carry = step(carry, *consts)``.
 
     ``step`` must map a pytree to a like-shaped pytree (data dependency =
     forced sequential execution). Fixed dispatch/readback overhead is
     cancelled by differencing a short and a long chain.
+
+    The reported figure is the MEDIAN of ``repeats`` independent differenced
+    samples — min-of-differences is biased fast under relay noise (a
+    transient stall in the *short* chain deflates the difference and
+    inflates TFLOP/s; a 216 TFLOP/s row above the measured 190 roofline was
+    traced to exactly this). Returns
+    ``{"per_iter": median_s, "spread": (p_hi−p_lo)/median, "samples": [...]}``
+    so every consumer can record dispersion next to the point estimate.
 
     ``consts``: loop-invariant pytrees (weights, KV) passed as real jit
     arguments. Do NOT close over large device arrays in ``step`` — closure
@@ -62,7 +76,7 @@ def time_chained(
     def measure(n_short, n_long):
         fetch(n_short)
         fetch(n_long)  # compile + warm both chain lengths
-        best = float("inf")
+        samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             fetch(n_short)
@@ -70,25 +84,69 @@ def time_chained(
             t0 = time.perf_counter()
             fetch(n_long)
             t_long = time.perf_counter() - t0
-            best = min(best, (t_long - t_short) / (n_long - n_short))
-        return best
+            samples.append((t_long - t_short) / (n_long - n_short))
+        return samples
 
-    per_iter = measure(warmup_iters, iters)
+    samples = measure(warmup_iters, iters)
     # Small workloads can measure at relay-noise level (the differenced time
     # is ~0); escalate the chain length until the signal dominates.
     n_short, n_long = warmup_iters, iters
-    while per_iter * (n_long - n_short) < 20e-3 and n_long < 4096:
+    while _median(samples) * (n_long - n_short) < 20e-3 and n_long < 4096:
         n_short, n_long = n_long, n_long * 4
-        per_iter = measure(n_short, n_long)
-    return max(per_iter, 1e-9)
+        samples = measure(n_short, n_long)
+    med = max(_median(samples), 1e-9)
+    lo, hi = min(samples), max(samples)
+    return {
+        "per_iter": med,
+        "spread": (hi - max(lo, 0.0)) / med,
+        "samples": [round(s, 9) for s in samples],
+    }
+
+
+def time_chained(
+    step: Callable,
+    carry0,
+    *,
+    consts=(),
+    iters: int = 64,
+    warmup_iters: int = 8,
+    repeats: int = 5,
+) -> float:
+    """Median seconds/iteration — see :func:`time_chained_stats`."""
+    return time_chained_stats(
+        step, carry0, consts=consts, iters=iters,
+        warmup_iters=warmup_iters, repeats=repeats,
+    )["per_iter"]
 
 
 def attention_flops(
-    b: int, h: int, nq: int, nk: int, d: int, *, causal: bool, mode: str
+    b: int, h: int, nq: int, nk: int, d: int, *, causal: bool, mode: str,
+    window: tuple[int, int] | None = None,
 ) -> float:
     """Reference FLOPs model (bench_with_sdpa.py:35-41, 129-133):
     ``fpm = 2·B·H·Nq·Nk·D``; fwd = 2·fpm; bwd = 5·fpm; fwd+bwd = 7·fpm;
-    ×0.5 when causal."""
+    ×0.5 when causal.
+
+    ``window=(left, right)``: band-area accounting — ``Nq·Nk`` is replaced by
+    the exact number of live (i, j) pairs of the band (row i attends to
+    ``i−left ≤ j ≤ i+right``, ANDed with causal, clipped to ``[0, Nk)``).
+    Same idea as the reference's causal halving, done exactly: a windowed
+    kernel does band-area work, so quoting full-N² "TFLOP/s" would exceed
+    the roofline at large N."""
+    if window is not None:
+        import numpy as np
+
+        left, right = window
+        i = np.arange(nq, dtype=np.int64)
+        lo = i - left if left >= 0 else np.zeros_like(i)
+        hi = i + right if right >= 0 else np.full_like(i, nk - 1)
+        if causal:
+            hi = np.minimum(hi, i)
+        lo = np.clip(lo, 0, nk - 1)
+        hi = np.clip(hi, -1, nk - 1)
+        area = float(np.maximum(hi - lo + 1, 0).sum())
+        fpm = 2.0 * b * h * area * d
+        return fpm * {"fwd": 2.0, "bwd": 5.0, "fwd_bwd": 7.0}[mode]
     fpm = 2.0 * b * h * nq * nk * d
     mult = {"fwd": 2.0, "bwd": 5.0, "fwd_bwd": 7.0}[mode]
     f = mult * fpm
