@@ -42,12 +42,64 @@ WORKLOADS = [
 ]
 
 
+def _lora_paths(params, prefix=()):
+    """Paths of the attention projection matrices (wq/wk/wv/wo  →  "w")."""
+    if isinstance(params, dict):
+        for kk, vv in params.items():
+            yield from _lora_paths(vv, prefix + (kk,))
+    elif isinstance(params, (list, tuple)):
+        for i, vv in enumerate(params):
+            yield from _lora_paths(vv, prefix + (i,))
+    else:
+        if (len(prefix) >= 2 and prefix[-1] == "w"
+                and prefix[-2] in ("wq", "wk", "wv", "wo")):
+            yield prefix, params
+
+
+def init_lora(key, params, rank=32):
+    """Rank-``rank`` adapters on every attention projection: A ~ N(0, 1/r),
+    B = 0 (standard LoRA init — the delta starts at zero). Matches the
+    reference's trained-module choice (attention processors) and dim/alpha 32
+    config (README.md:136-149)."""
+    lora = {}
+    for path, w in _lora_paths(params):
+        key, sub = jax.random.split(key)
+        cin, cout = w.shape
+        lora["/".join(map(str, path))] = {
+            "a": (jax.random.normal(sub, (cin, rank), jnp.float32)
+                  / rank).astype(w.dtype),
+            "b": jnp.zeros((rank, cout), w.dtype),
+        }
+    return lora
+
+
+def apply_lora(params, lora, scale=1.0):
+    """Functional ``W' = W + scale·A@B`` on the adapted leaves."""
+    def patch(node, prefix=()):
+        if isinstance(node, dict):
+            return {kk: patch(vv, prefix + (kk,)) for kk, vv in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(patch(vv, prefix + (i,))
+                              for i, vv in enumerate(node))
+        key = "/".join(map(str, prefix))
+        if key in lora:
+            ab = lora[key]
+            delta = (ab["a"].astype(jnp.float32)
+                     @ ab["b"].astype(jnp.float32)) * scale
+            return (node.astype(jnp.float32) + delta).astype(node.dtype)
+        return node
+
+    return patch(params)
+
+
 def build_step(params, cfg, latent_hw, batch, attn_impl, mode="sample"):
     """``mode="sample"``: one Euler denoise step at a fixed mid-schedule sigma
     (one ComfyUI "it"). ``mode="train"``: one full-parameter training step
-    (eps-MSE loss, grads through every attention backward) — the reference's
-    SDXL LoRA-training row (README.md:134-154), as a chainable latent→latent
-    map."""
+    (eps-MSE loss, grads through every attention backward). ``mode=
+    "train_lora"``: base frozen, grads w.r.t. rank-32 attention adapters
+    only — like-for-like with the reference's SDXL LoRA row
+    (README.md:134-154, AdamW dim/alpha 32). Each is a chainable
+    latent→latent map."""
     ctx_len = 77
     context = jax.random.normal(
         jax.random.PRNGKey(2), (batch, ctx_len, cfg.context_dim), jnp.float32)
@@ -63,6 +115,23 @@ def build_step(params, cfg, latent_hw, batch, attn_impl, mode="sample"):
             eps = unet_forward(params, x * c_in, t, context, cfg,
                                attn_impl=attn_impl)
             return x + (sigma_next - sigma) * eps.astype(x.dtype)
+    elif mode == "train_lora":
+        lora0 = jax.jit(lambda k, p: init_lora(k, p))(
+            jax.random.PRNGKey(3), params)
+        jax.block_until_ready(lora0)
+
+        def step(x, params, context, lora):
+            def loss_fn(lp):
+                p = apply_lora(params, lp)
+                eps = unet_forward(p, x * c_in, t, context, cfg,
+                                   attn_impl=attn_impl)
+                return jnp.mean((eps.astype(jnp.float32)
+                                 - x.astype(jnp.float32)) ** 2)
+
+            g = jax.grad(loss_fn)(lora)
+            gs = sum(jnp.sum(l.astype(jnp.float32))
+                     for l in jax.tree_util.tree_leaves(g))
+            return x + (1e-30 * gs).astype(x.dtype)
     else:
         def step(x, params, context):
             def loss_fn(p):
@@ -80,7 +149,9 @@ def build_step(params, cfg, latent_hw, batch, attn_impl, mode="sample"):
     x0 = jax.random.normal(
         jax.random.PRNGKey(1), (batch, latent_hw, latent_hw, cfg.in_channels),
         jnp.float32) * sigma
-    return step, x0, context
+    consts = ((params, context, lora0) if mode == "train_lora"
+              else (params, context))
+    return step, x0, consts
 
 
 def peak_memory_bytes(step, x0, *consts):
@@ -105,11 +176,11 @@ def bench_one(name, cfg_factory, latent_hw, batch, impls, iters,
           flush=True)
     results = {}
     for impl in impls:
-        step, x0, context = build_step(params, cfg, latent_hw, batch, impl,
-                                       mode)
-        mem = peak_memory_bytes(step, x0, params, context)
+        step, x0, consts = build_step(params, cfg, latent_hw, batch, impl,
+                                      mode)
+        mem = peak_memory_bytes(step, x0, *consts)
         try:
-            t = time_chained(step, x0, consts=(params, context), iters=iters,
+            t = time_chained(step, x0, consts=consts, iters=iters,
                              warmup_iters=max(2, iters // 4), repeats=2)
         except Exception as e:  # noqa: BLE001 — OOM on xla@1024² is a result
             print(json.dumps({"workload": name, "impl": impl,
@@ -135,12 +206,17 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--impls", default="fused,xla")
     ap.add_argument("--iters", type=int, default=12)
-    ap.add_argument("--mode", default="sample", choices=["sample", "train"])
+    ap.add_argument("--mode", default="sample",
+                    choices=["sample", "train", "train_lora"])
     args = ap.parse_args()
     impls = args.impls.split(",")
     if args.mode == "train":
-        # the reference's training rows: SDXL LoRA at 1024² (plus SD1.5 512²)
+        # full-param training rows: SD1.5 512² + SDXL 1024²
         loads = [WORKLOADS[0], WORKLOADS[3]]
+    elif args.mode == "train_lora":
+        # the reference's actual training row is SDXL *LoRA* 1024²
+        # (README.md:134-154) — like-for-like comparison
+        loads = [WORKLOADS[3]]
     else:
         loads = WORKLOADS
     if args.quick:

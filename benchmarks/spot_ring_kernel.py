@@ -36,7 +36,11 @@ from flashattn_tpu.utils.timing import attention_flops, time_chained
 
 
 def main():
-    B, H, N, D = 1, 8, 4096, 128
+    # Kept small: the kernel body unrolls B·Hkv·nqt merge tiles × nk/block_k
+    # KV steps per ring step, and the remote Mosaic compile of the 4096/H8
+    # variant exceeded 15 min on the tunnel. H4/N2048 (16 tiles × 4 steps)
+    # exercises every lowering feature at ~1/8 the program size.
+    B, H, N, D = 1, 4, 2048, 128
     dtype = jnp.bfloat16
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
     mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("seq",))

@@ -1,0 +1,196 @@
+"""On-chip tuning matrix for the resident causal kernels.
+
+Sweeps the env-tunable geometry/pipelining knobs (RC_SUBQ/SUBK/PENDING_MB,
+RB_SUB/TRI/LOOKAHEAD, RB_MAXN/RC_MAXN) across configs and prints one JSON
+line per point. Each config runs in a SUBPROCESS: the knobs are read at
+module import and jit caches key on static args only, so in-process
+re-binding would silently reuse stale compiled code.
+
+Role parity: the reference tunes Br/Bc against the device the same way —
+measure, pick, hard-code (FlashAttn.py:56-67, brbcCalc.xlsx). This is the
+measurement half; winners get folded into the defaults.
+
+Run: python benchmarks/spot_tune.py [matrix ...]   (matrices: bwd4k big n8kcheck d64)
+Child: spot_tune.py --child <mode> <B> <H> <N> <D>
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child(mode, B, H, N, D):
+    from flashattn_tpu.utils.platform import enable_compilation_cache
+    from flashattn_tpu.utils.tpu_lock import acquire_tpu_lock
+
+    acquire_tpu_lock()
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from flashattn_tpu import flash_attention
+    from flashattn_tpu.utils.testing import make_qkv
+    from flashattn_tpu.utils.timing import attention_flops, time_chained_stats
+
+    dtype = jnp.bfloat16
+    q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
+
+    causal = os.environ.get("FLASHATTN_TPU_TUNE_CAUSAL", "1") == "1"
+    bs = None
+    if os.environ.get("FLASHATTN_TPU_BQ") or os.environ.get(
+            "FLASHATTN_TPU_BK"):
+        from flashattn_tpu.ops.flash import BlockSizes, choose_block_sizes
+
+        auto = choose_block_sizes(N, N, D, dtype, False, causal)
+        bs = BlockSizes(
+            block_q=int(os.environ.get("FLASHATTN_TPU_BQ", auto.block_q)),
+            block_k=int(os.environ.get("FLASHATTN_TPU_BK", auto.block_k)),
+            block_q_dkv=auto.block_q_dkv, block_k_dkv=auto.block_k_dkv,
+            block_q_dq=auto.block_q_dq, block_k_dq=auto.block_k_dq)
+
+    if mode == "check":
+        # Numerics vs the O(N)-memory golden model (1 head) on this chip.
+        from flashattn_tpu.ops.reference import flash_attention_reference
+
+        qs, ks, vs = (x[:, :1] for x in (q, k, v))
+        o = flash_attention(qs, ks, vs, causal=True)
+        w = flash_attention_reference(
+            *(x.astype(jnp.float32) for x in (qs, ks, vs)), causal=True,
+            block_q=512, block_k=1024)
+        md = float(jnp.max(jnp.abs(o.astype(jnp.float32) - w)))
+        g = jax.grad(lambda a, b, c: (
+            flash_attention(a, b, c, causal=True)
+            .astype(jnp.float32) ** 2).sum(), (0, 1, 2))(qs, ks, vs)
+        jax.block_until_ready(g)
+        print(json.dumps({"mode": "check", "N": N, "D": D,
+                          "maxdiff": round(md, 6),
+                          "ok": bool(md < 2e-2)}), flush=True)
+        return
+
+    if mode == "fwd":
+        def step(qq, kk, vv):
+            return flash_attention(qq, kk, vv, causal=causal,
+                                   block_sizes=bs)
+    else:
+        def step(qq, kk, vv):
+            dq, dk, dv = jax.grad(
+                lambda a, b, c: (flash_attention(a, b, c, causal=causal,
+                                                 block_sizes=bs)
+                                 .astype(jnp.float32) ** 2).sum(),
+                (0, 1, 2))(qq, kk, vv)
+            return (qq + 1e-30 * (dq + dk.astype(qq.dtype)
+                                  + dv.astype(qq.dtype))).astype(qq.dtype)
+
+    stats = time_chained_stats(step, q, consts=(k, v), iters=16,
+                               warmup_iters=4, repeats=5)
+    t = stats["per_iter"]
+    fl = attention_flops(B, H, N, N, D, causal=causal, mode=mode)
+    print(json.dumps({
+        "mode": mode, "B": B, "H": H, "N": N, "D": D, "causal": causal,
+        "ms": round(t * 1e3, 4), "tflops": round(fl / t / 1e12, 2),
+        "spread_pct": round(stats["spread"] * 100, 1),
+        "env": {kk: vv for kk, vv in os.environ.items()
+                if kk.startswith("FLASHATTN_TPU_")
+                and kk not in ("FLASHATTN_TPU_LOCK",
+                               "FLASHATTN_TPU_TUNE_CAUSAL")},
+    }), flush=True)
+
+
+def run(tag, mode, env, B=1, H=24, N=4096, D=128, timeout=900):
+    e = dict(os.environ)
+    e.update({k: str(v) for k, v in env.items()})
+    print(f"--- {tag}: {mode} N={N} D={D} {env}", flush=True)
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", mode,
+         str(B), str(H), str(N), str(D)],
+        env=e, cwd=REPO, timeout=timeout, capture_output=True, text=True)
+    out = r.stdout.strip()
+    print(out if out else f"(no output, rc={r.returncode})", flush=True)
+    if r.returncode != 0:
+        tail = "\n".join(r.stderr.strip().splitlines()[-12:])
+        print(f"FAILED rc={r.returncode}\n{tail}", flush=True)
+
+
+MATRICES = {
+    # causal fwd+bwd N=4096 D=128 — resident-bwd knob sweep + flat arm
+    "bwd4k": [
+        ("rb-default", "fwd_bwd", {}),
+        ("rb-tri512", "fwd_bwd", {"FLASHATTN_TPU_RB_TRI": 512}),
+        ("rb-tri1024", "fwd_bwd", {"FLASHATTN_TPU_RB_TRI": 1024}),
+        ("rb-la2", "fwd_bwd", {"FLASHATTN_TPU_RB_LOOKAHEAD": 2}),
+        ("rb-tri512-la2", "fwd_bwd", {"FLASHATTN_TPU_RB_TRI": 512,
+                                      "FLASHATTN_TPU_RB_LOOKAHEAD": 2}),
+        ("rb-sub512", "fwd_bwd", {"FLASHATTN_TPU_RB_SUB": 512}),
+        ("flat-tri", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0}),
+    ],
+    # causal fwd N=8192 D=128 — resident geometry/lookahead vs flat grid
+    "big": [
+        ("rc8k-default", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192}, 8192),
+        ("rc8k-p48", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192,
+                             "FLASHATTN_TPU_RC_PENDING_MB": 48}, 8192),
+        ("rc8k-subk1024", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192,
+                                  "FLASHATTN_TPU_RC_SUBK": 1024}, 8192),
+        ("rc8k-subq1024", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192,
+                                  "FLASHATTN_TPU_RC_SUBQ": 1024,
+                                  "FLASHATTN_TPU_RC_PENDING_MB": 48}, 8192),
+        ("flat8k", "fwd", {"FLASHATTN_TPU_RC_MAXN": 4096}, 8192),
+        ("rc8k-fwdbwd", "fwd_bwd", {"FLASHATTN_TPU_RC_MAXN": 8192,
+                                    "FLASHATTN_TPU_RB_MAXN": 8192}, 8192),
+        ("rc5k", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192}, 5120),
+        ("rc6k", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192}, 6144),
+    ],
+    # numerics gate for the new big-N geometry (sub_q 512 everywhere)
+    "n8kcheck": [
+        ("rc8k-check", "check", {"FLASHATTN_TPU_RC_MAXN": 8192,
+                                 "FLASHATTN_TPU_RB_MAXN": 8192}, 8192),
+    ],
+    # D=64 noncausal fwd (VERDICT #5): ~88 TF vs the measured ~109
+    # thin-matmul ceiling. Wider q blocks amortize the per-grid-step floor;
+    # split variants change the MXU/VPU interleave granularity.
+    "d64": [
+        ("d64-base", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0}, 4096, 64),
+        ("d64-bq2048", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                               "FLASHATTN_TPU_BQ": 2048}, 4096, 64),
+        ("d64-bq2048-q2", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                                  "FLASHATTN_TPU_BQ": 2048,
+                                  "FLASHATTN_TPU_Q_SPLITS": 2}, 4096, 64),
+        ("d64-bk4096", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                               "FLASHATTN_TPU_BK": 4096}, 4096, 64),
+        ("d64-bq2048-bk4096", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                                      "FLASHATTN_TPU_BQ": 2048,
+                                      "FLASHATTN_TPU_BK": 4096}, 4096, 64),
+        ("d64-kvs4", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                             "FLASHATTN_TPU_KV_SPLITS": 4}, 4096, 64),
+    ],
+    # D=160 mini-sweep (NOTES promise): partial-lane tile behavior
+    "d160": [
+        ("d160-fwd", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0}, 4096, 160),
+        ("d160-fwdbwd", "fwd_bwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0},
+         4096, 160),
+    ],
+}
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        mode, B, H, N, D = (sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+                            int(sys.argv[5]), int(sys.argv[6]))
+        child(mode, B, H, N, D)
+        return
+    names = sys.argv[1:] or ["bwd4k", "big"]
+    for name in names:
+        for row in MATRICES[name]:
+            tag, mode, env = row[0], row[1], row[2]
+            N = row[3] if len(row) > 3 else 4096
+            D = row[4] if len(row) > 4 else 128
+            run(tag, mode, env, N=N, D=D)
+
+
+if __name__ == "__main__":
+    main()

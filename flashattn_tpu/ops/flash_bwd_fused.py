@@ -429,10 +429,17 @@ def _bwd_causal_resident_kernel(
     last_pair_of_j = {pr[0]: p for p, pr in enumerate(pairs)}
     stored_j = set()
 
-    leads = lead(pairs[0]) if pairs else None
+    # Software pipeline: the next LA pairs' lead dots (S, dP) are issued
+    # before the current pair's VPU softmax + three trailing dots. LA=1 is
+    # the measured default; deeper values trade scoped VMEM (two f32
+    # sub×sub tiles per pending pair) for more MXU slack.
+    la = max(1, _RB_LOOKAHEAD)
+    pending = {p: lead(pairs[p]) for p in range(min(la, len(pairs)))}
     for p, pr in enumerate(pairs):
-        cur = leads
-        leads = lead(pairs[p + 1]) if p + 1 < len(pairs) else None
+        nxt = p + la
+        if nxt < len(pairs):
+            pending[nxt] = lead(pairs[nxt])
+        cur = pending.pop(p)
         j, i = pr[0], pr[1]
         if j not in dkv_acc:
             dkv_acc[j] = (seg_init(), seg_init())
@@ -458,7 +465,11 @@ def _bwd_causal_resident_kernel(
 # dataflow accumulators must stay VMEM/register-resident, and the pair
 # count grows as (N/sub)². N=4096 (10 pairs at sub=1024) fits.
 _RESIDENT_BWD_MAX_N = int(os.environ.get("FLASHATTN_TPU_RB_MAXN", 4096))
-_RB_SUB = 1024
+# Pair tile / diagonal-chunk width / pair-pipelining depth — all
+# env-overridable for on-chip tuning sweeps (spot_bwd_tune.py).
+_RB_SUB = int(os.environ.get("FLASHATTN_TPU_RB_SUB", 1024))
+_RB_TRI = os.environ.get("FLASHATTN_TPU_RB_TRI")
+_RB_LOOKAHEAD = int(os.environ.get("FLASHATTN_TPU_RB_LOOKAHEAD", 1))
 
 
 def _rb_geometry(Nqp):
@@ -471,7 +482,9 @@ def _rb_geometry(Nqp):
     sub = min(_RB_SUB, Nqp)
     while sub > NUM_LANES and (Nqp % sub or sub % NUM_LANES):
         sub -= NUM_LANES
-    tri = max(NUM_LANES, (sub // 4) // NUM_LANES * NUM_LANES)
+    tri_target = int(_RB_TRI) if _RB_TRI else sub // 4
+    tri = max(NUM_LANES,
+              min(tri_target, sub) // NUM_LANES * NUM_LANES)
     while sub % tri:
         tri -= NUM_LANES
     return sub, tri

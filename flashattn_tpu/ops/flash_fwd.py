@@ -709,21 +709,44 @@ _RESIDENT_CAUSAL_MAX_N = int(os.environ.get("FLASHATTN_TPU_RC_MAXN", 4096))
 # Chain geometry: 512-row chains × 2048-wide kv tiles measured best at
 # N=4096 D=128 on v5e — 163 TFLOP/s equal-work vs 150/148/139 for
 # (512,1024)/(1024,1024)/(512,4096); nearly the non-causal rate (167).
-# Past 4096 rows the chain count is capped at 8 (wider chains) to bound the
-# unrolled live state — relevant only under the experimental env override.
-_RC_SUB_Q = 512
-_RC_SUB_K = 2048
+# Chains stay 512 rows at every N: liveness past 4096 is bounded by the
+# VMEM-budgeted lookahead below, not by widening the chains (wider chains
+# quadruple the pending f32 score-tile size — the N=8192 scoped-VMEM OOM).
+# Both knobs are env-overridable for on-chip tuning sweeps.
+_RC_SUB_Q = int(os.environ.get("FLASHATTN_TPU_RC_SUBQ", 512))
+_RC_SUB_K = int(os.environ.get("FLASHATTN_TPU_RC_SUBK", 2048))
+# Scoped-VMEM budget for issued-but-unconsumed f32 score tiles (the
+# dominant live term of the bounded-lookahead schedule). The kernel's other
+# residents (chain state ~0.75 MB/chain, Q/K/V/O blocks) plus Mosaic's own
+# temporaries must fit in the remaining ~68 MB of the 100 MB scoped limit.
+_RC_PENDING_BUDGET = int(os.environ.get(
+    "FLASHATTN_TPU_RC_PENDING_MB", 32)) * 1024 * 1024
 
 
 def _rc_geometry(Nqp):
-    sub_q = max(_RC_SUB_Q, Nqp // 8) if Nqp > 4096 else _RC_SUB_Q
-    # kv tile: largest lane-aligned width <= _RC_SUB_K that divides the
+    # Largest lane-aligned widths <= the defaults that divide the padded
     # sequence — N = 2560/3072/5120/7168 would otherwise fall off the
     # resident route only because 2048 doesn't divide them.
+    sub_q = min(_RC_SUB_Q, Nqp)
+    while sub_q > NUM_LANES and (Nqp % sub_q or sub_q % NUM_LANES):
+        sub_q -= NUM_LANES
     sub_k = min(_RC_SUB_K, Nqp)
     while sub_k > NUM_LANES and (Nqp % sub_k or sub_k % NUM_LANES):
         sub_k -= NUM_LANES
-    return min(sub_q, Nqp), sub_k
+    return sub_q, sub_k
+
+
+def _rc_lookahead(Nqp, sub_q, sub_k):
+    """Default in-flight dot bound: None (full round-major, measured fastest
+    and kept bit-identical) up to 4096 rows; above that, as many pending
+    f32 score tiles as the budget allows, floor 2 (below 2 there is no
+    MXU/VPU overlap left)."""
+    la_env = os.environ.get("FLASHATTN_TPU_RC_LOOKAHEAD")
+    if la_env:
+        return int(la_env)
+    if Nqp <= 4096:
+        return None
+    return max(2, _RC_PENDING_BUDGET // (sub_q * sub_k * 4))
 
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,
@@ -799,15 +822,19 @@ def fwd_padded(
         # per block, sub-tile i+1's QK^T (MXU) overlaps sub-tile i's softmax
         # (VPU): 141 -> 164 TFLOP/s at D=128 (+16%). 512-wide sub-tiles were
         # measured WORSE for causal (67 vs 93 TFLOP/s: more predicated
-        # regions ≫ the finer skip granularity).
-        kv_splits = max(1, block_k // 1024)
+        # regions ≫ the finer skip granularity). Env override for on-chip
+        # tuning sweeps (spot_tune.py).
+        kv_env = os.environ.get("FLASHATTN_TPU_KV_SPLITS")
+        kv_splits = int(kv_env) if kv_env else max(1, block_k // 1024)
     if q_splits is None:
         # Square (1024, 1024) causal tiles have kv_splits == 1; splitting
         # the Q rows instead yields independent online-softmax chains whose
         # MXU dots and VPU softmaxes interleave (causal flat grid: 97 ->
         # 111 TFLOP/s going from q_splits 1 to 4, measured on v5e).
-        q_splits = (max(1, min(4, block_q // 256))
-                    if kv_splits == 1 else 1)
+        q_env = os.environ.get("FLASHATTN_TPU_Q_SPLITS")
+        q_splits = (int(q_env) if q_env
+                    else (max(1, min(4, block_q // 256))
+                          if kv_splits == 1 else 1))
     # User-supplied block sizes may not divide evenly into lane/sublane-
     # aligned sub-tiles (e.g. block_k=2176 -> sub_k=1088): fall back to
     # unsplit rather than mis-tile.
@@ -860,9 +887,7 @@ def fwd_padded(
             static_offsets=static_offsets, Nqp=Nqp, Nkp=Nkp, D=D,
             sub_q=rc_sub_q, sub_k=rc_sub_k, seg=seg_q):
         n = Nqp
-        la_env = os.environ.get("FLASHATTN_TPU_RC_LOOKAHEAD")
-        lookahead = (int(la_env) if la_env
-                     else (8 if Nqp > 4096 else None))
+        lookahead = _rc_lookahead(Nqp, rc_sub_q, rc_sub_k)
         kernel = functools.partial(
             _fwd_causal_resident_kernel,
             n=n, sub_q=rc_sub_q, sub_k=rc_sub_k, head_dim=D,

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
 from flashattn_tpu.ops.flash import _dispatch_dtype, _pad_head_dim
-from flashattn_tpu.ops.flash_fwd import LN2, LOG2E
+from flashattn_tpu.ops.flash_fwd import LN2, LOG2E, NUM_LANES
 from flashattn_tpu.ops.oracle import DEFAULT_MASK_VALUE
 from flashattn_tpu.utils import platform
 
@@ -68,7 +68,8 @@ def _ring_fwd_kernel(
     k_hbm,      # ANY [B, Hkv, nk, D]
     v_hbm,      # ANY [B, Hkv, nk, D]
     o_hbm,      # ANY [B, Hq, nq, D] f32 out (unnormalized until last step)
-    lse_hbm,    # ANY [B, Hq, nq, 1] f32 out (natural-log LSE)
+    lse_hbm,    # ANY [B, Hq, nq, NUM_LANES] f32 out (natural-log LSE;
+                # lane-replicated — HBM slices must be 128-lane aligned)
     kv_slots,   # ANY [2, 2, B, Hkv, nk, D] rotation buffers (slot, k/v) —
                 # declared as a (discarded) output: HBM scratch is not
                 # allocatable as pallas scratch, but outputs live in HBM
@@ -77,9 +78,15 @@ def _ring_fwd_kernel(
     kc,         # VMEM (nk, D) dtype — current K chunk for one (b, hkv)
     vc,         # VMEM (nk, D) dtype
     ot_buf,     # VMEM (bq, D) f32 — O read-modify-write tile
-    lse_buf,    # VMEM (bq, 1) f32
-    m_scr,      # VMEM (B*Hq*nqt, bq, 1) f32 — running row max, persists
-    l_scr,      # VMEM (B*Hq*nqt, bq, 1) f32 — running row sum, persists
+    lse_buf,    # VMEM (bq, NUM_LANES) f32
+    m_scr,      # VMEM (bq, W) f32 — running row max, one lane per
+                # (b, h, q-tile) [W = B*Hq*nqt rounded up to 128]. A
+                # (n_tiles, bq, 1) layout lane-pads 1->128 per entry (16 MB
+                # of scoped VMEM at B1 H8 nq4096 — OOMs the real chip);
+                # packing tiles along lanes keeps it at bq*W*4 bytes. Reads/
+                # writes go through a lane-select mask, never a width-1
+                # lane slice.
+    l_scr,      # VMEM (bq, W) f32 — running row sum, same packing
     copy_sems,  # DMA (4,)
     send_sem,   # DMA
     recv_sems,  # DMA (2,) — one per landing slot (see module docstring)
@@ -264,14 +271,16 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
     # ---- merge the chunk partial into the running state ----
     o_slice = o_hbm.at[b, h, pl.ds(rows, block_q), :]
 
+    W = m_scr.shape[1]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (block_q, W), 1) == idx
+
     # Initialize BEFORE reading the running state: scratch and the HBM
     # accumulator hold uninitialized memory at step 0 (NaN under the
     # interpreter's uninitialized_memory='nan' — and NaN * 0 = NaN).
     @pl.when(is_first)
     def _init_state():
-        m_scr[idx, :, :] = jnp.full((block_q, 1), DEFAULT_MASK_VALUE,
-                                    jnp.float32)
-        l_scr[idx, :, :] = jnp.zeros((block_q, 1), jnp.float32)
+        m_scr[...] = jnp.where(sel, DEFAULT_MASK_VALUE, m_scr[...])
+        l_scr[...] = jnp.where(sel, 0.0, l_scr[...])
         ot_buf[...] = jnp.zeros_like(ot_buf)
 
     @pl.when(jnp.logical_not(is_first))
@@ -280,8 +289,10 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
         co.start()
         co.wait()
 
-    m_run = m_scr[idx, :, :]
-    l_run = l_scr[idx, :, :]
+    m_run = jnp.sum(jnp.where(sel, m_scr[...], 0.0), axis=1,
+                    keepdims=True)
+    l_run = jnp.sum(jnp.where(sel, l_scr[...], 0.0), axis=1,
+                    keepdims=True)
     m_new = jnp.maximum(m_run, m_c)
     # fully-masked partials carry no mass; drop them instead of exp2(0)=1
     a_run = jnp.where(m_run <= _NEG_GUARD, 0.0, jnp.exp2(m_run - m_new))
@@ -290,8 +301,8 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
     o_new = ot_buf[...] * a_run + acc * a_c
 
     ot_buf[...] = o_new
-    m_scr[idx, :, :] = m_new
-    l_scr[idx, :, :] = l_new
+    m_scr[...] = jnp.where(sel, m_new, m_scr[...])
+    l_scr[...] = jnp.where(sel, l_new, l_scr[...])
     co = pltpu.make_async_copy(ot_buf, o_slice, copy_sems.at[3])
     co.start()
     co.wait()
@@ -307,13 +318,18 @@ def _finalize_tile(b, h, qt, o_hbm, lse_hbm, ot_buf, lse_buf, m_scr, l_scr,
     co = pltpu.make_async_copy(o_slice, ot_buf, copy_sems.at[3])
     co.start()
     co.wait()
-    m_run = m_scr[idx, :, :]
-    l_run = l_scr[idx, :, :]
+    W = m_scr.shape[1]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (block_q, W), 1) == idx
+    m_run = jnp.sum(jnp.where(sel, m_scr[...], 0.0), axis=1,
+                    keepdims=True)
+    l_run = jnp.sum(jnp.where(sel, l_scr[...], 0.0), axis=1,
+                    keepdims=True)
     alive = l_run > 0.0
     safe_l = jnp.where(alive, l_run, 1.0)
     ot_buf[...] = jnp.where(alive, ot_buf[...] / safe_l, 0.0)
-    lse_buf[...] = jnp.where(alive, (m_run + jnp.log2(safe_l)) * LN2,
-                             -jnp.inf)
+    lse_buf[...] = jnp.broadcast_to(
+        jnp.where(alive, (m_run + jnp.log2(safe_l)) * LN2, -jnp.inf),
+        lse_buf.shape)
     co = pltpu.make_async_copy(ot_buf, o_slice, copy_sems.at[3])
     cl = pltpu.make_async_copy(
         lse_buf, lse_hbm.at[b, h, pl.ds(rows, block_q), :],
@@ -334,6 +350,7 @@ def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
     B, Hq, nq, D = q.shape
     Hkv, nk = k.shape[1], k.shape[2]
     nqt = nq // block_q
+    stats_w = -(-(B * Hq * nqt) // 128) * 128  # lane-packed (m, l) width
     dtype = q.dtype
 
     kern = functools.partial(
@@ -351,7 +368,7 @@ def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
         grid=(n_dev,),
         out_shape=(
             jax.ShapeDtypeStruct((B, Hq, nq, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hq, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, nq, NUM_LANES), jnp.float32),
             jax.ShapeDtypeStruct((2, 2, B, Hkv, nk, D), dtype),  # kv_slots
         ),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
@@ -363,9 +380,9 @@ def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
             pltpu.VMEM((nk, D), dtype),                   # kc
             pltpu.VMEM((nk, D), dtype),                   # vc
             pltpu.VMEM((block_q, D), jnp.float32),        # ot_buf
-            pltpu.VMEM((block_q, 1), jnp.float32),        # lse_buf
-            pltpu.VMEM((B * Hq * nqt, block_q, 1), jnp.float32),  # m_scr
-            pltpu.VMEM((B * Hq * nqt, block_q, 1), jnp.float32),  # l_scr
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # lse_buf
+            pltpu.VMEM((block_q, stats_w), jnp.float32),  # m_scr
+            pltpu.VMEM((block_q, stats_w), jnp.float32),  # l_scr
             pltpu.SemaphoreType.DMA((4,)),   # local copies
             pltpu.SemaphoreType.DMA(()),     # send
             pltpu.SemaphoreType.DMA((2,)),   # recv, one per landing slot
@@ -374,7 +391,10 @@ def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
-            collective_id=1,
+            # collective_id names the barrier semaphore; with one device the
+            # barrier block is never emitted and Mosaic rejects a
+            # collective_id without a custom barrier (single-chip spot runs).
+            collective_id=1 if n_dev > 1 else None,
         ),
         interpret=interpret,
     )(q, k, v)

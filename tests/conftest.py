@@ -24,6 +24,13 @@ if os.environ.get("FLASHATTN_TPU_TEST_BACKEND", "cpu") == "cpu":
         pass  # backend already initialized (e.g. driver chose TPU); run as-is
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (heavyweight model/fuzz/sharding "
+             "soaks; the default tier is the pre-commit gate)")
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: requires a real TPU (skipped on CPU test runs)"
@@ -34,9 +41,13 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     on_tpu = jax.default_backend() == "tpu"
     skip_tpu = pytest.mark.skip(reason="needs real TPU hardware")
+    skip_slow = pytest.mark.skip(reason="slow soak — use --runslow")
+    runslow = config.getoption("--runslow")
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip_tpu)
+        if "slow" in item.keywords and not runslow:
+            item.add_marker(skip_slow)
 
 
 @pytest.fixture(scope="session")

@@ -82,6 +82,7 @@ def test_mhdpa_module_hook():
     assert float(jnp.max(jnp.abs(ours - want))) < 2e-5
 
 
+@pytest.mark.slow
 def test_mhdpa_module_grads():
     q = jax.random.normal(jax.random.PRNGKey(9), (1, 96, 32))
     mod = nn.MultiHeadDotProductAttention(

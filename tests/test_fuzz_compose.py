@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from flashattn_tpu import flash_attention
 from flashattn_tpu.ops.oracle import attention_reference
 from flashattn_tpu.utils.testing import (

@@ -54,6 +54,7 @@ def test_lm_attn_impl_equivalence(lm_params):
     assert abs(lf - lx) < 5e-3, (lf, lx)
 
 
+@pytest.mark.slow
 def test_lm_softcap_equivalence():
     """Gemma-2-class config: logit_softcap wired through the fused engine
     must agree with the exact-XLA arm, in forward and decode."""
@@ -80,6 +81,7 @@ def test_lm_softcap_equivalence():
         decode_step(params, qcache, toks[:, 0], cfg)
 
 
+@pytest.mark.slow
 def test_packed_batch_matches_separate(lm_params):
     """Packed-batch golden test: two documents packed into one row (with
     segment_ids) produce exactly the per-document logits and a loss equal to
@@ -102,6 +104,7 @@ def test_packed_batch_matches_separate(lm_params):
     assert abs(lp - want_loss) < 1e-5, (lp, want_loss)
 
 
+@pytest.mark.slow
 def test_packed_batch_grads_flow(lm_params):
     toks = jax.random.randint(jax.random.PRNGKey(22), (2, 48), 0, 128)
     seg = jnp.cumsum(
@@ -143,6 +146,7 @@ def test_decode_quantized_cache(lm_params):
     assert max(errs) < 0.05 * max(scale, 1.0), (errs, scale)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_learns(lm_params):
     if jax.device_count() < 8:
         pytest.skip("needs 8 devices")
@@ -156,6 +160,7 @@ def test_sharded_train_step_runs_and_learns(lm_params):
     assert float(loss) < float(loss0)  # memorizing one batch
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(lm_params):
     """tp-only sharding must reproduce single-device loss (no seq-shard
     boundary effects at sp=1)."""
@@ -170,6 +175,7 @@ def test_sharded_matches_single_device(lm_params):
     assert abs(float(loss) - float(want)) < 2e-3
 
 
+@pytest.mark.slow
 def test_sharded_seq_loss_matches_single_device(lm_params):
     """sp>1 loss equals the single-device loss: shard-boundary targets come
     from a one-token halo exchange (ppermute), with the global final
@@ -185,6 +191,7 @@ def test_sharded_seq_loss_matches_single_device(lm_params):
     assert abs(float(loss) - float(want)) < 2e-3, (float(loss), float(want))
 
 
+@pytest.mark.slow
 def test_packed_sharded_loss_matches_single_device(lm_params):
     """Packed batches under dp×sp: the sharded step's loss (ring attention
     with rotating segment ids, global positions, halo'd boundary mask) must
@@ -209,6 +216,7 @@ def test_packed_sharded_loss_matches_single_device(lm_params):
     assert abs(float(loss_sharded) - float(want)) < 1e-5
 
 
+@pytest.mark.slow
 def test_packed_all_boundary_loss_finite(lm_params):
     """Degenerate packing — every document is length 1, so every position is
     a boundary and zero positions carry loss. The sharded step must return a
@@ -233,6 +241,7 @@ def test_packed_zigzag_rejected():
                                 with_segment_ids=True)
 
 
+@pytest.mark.slow
 def test_zigzag_seq_loss_matches_single_device(lm_params):
     """seq_layout='zigzag' (causally load-balanced SP) must reproduce the
     single-device loss exactly: RoPE positions, attention, and the two-halo
@@ -249,6 +258,7 @@ def test_zigzag_seq_loss_matches_single_device(lm_params):
     assert abs(float(loss) - float(want)) < 2e-3, (float(loss), float(want))
 
 
+@pytest.mark.slow
 def test_zigzag_train_step_learns(lm_params):
     """zigzag layout trains end-to-end (params update, loss decreases)."""
     if jax.device_count() < 8:
@@ -264,6 +274,7 @@ def test_zigzag_train_step_learns(lm_params):
     assert float(loss) < float(loss0)
 
 
+@pytest.mark.slow
 def test_multislice_train_step_matches_single_device(lm_params):
     """2-level (slice x chip) mesh: slice axis outermost (DCN role), used
     only for batch DP / gradient psum — loss must equal single-device
@@ -288,6 +299,7 @@ def unet_params():
     return init_unet(jax.random.PRNGKey(0), UCFG)
 
 
+@pytest.mark.slow
 def test_unet_forward(unet_params):
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
     t = jnp.array([10.0, 500.0])
@@ -297,6 +309,7 @@ def test_unet_forward(unet_params):
     assert bool(jnp.all(jnp.isfinite(eps)))
 
 
+@pytest.mark.slow
 def test_unet_grads_flow(unet_params):
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 16, 4))
     t = jnp.array([100.0])
@@ -313,6 +326,7 @@ def test_unet_grads_flow(unet_params):
     assert float(jnp.max(jnp.abs(gp))) > 0
 
 
+@pytest.mark.slow
 def test_euler_sampler(unet_params):
     ctx = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 32))
     x = euler_sample(unet_params, jax.random.PRNGKey(6), ctx, cfg=UCFG,
@@ -321,6 +335,7 @@ def test_euler_sampler(unet_params):
     assert bool(jnp.all(jnp.isfinite(x)))
 
 
+@pytest.mark.slow
 def test_unet_attn_impl_equivalence(unet_params):
     """The fused engine and exact-XLA attention must agree through the whole
     U-Net (the SD bench's two arms compute the same function)."""
@@ -332,6 +347,7 @@ def test_unet_attn_impl_equivalence(unet_params):
     assert float(jnp.max(jnp.abs(o_fused - o_xla))) < 5e-2
 
 
+@pytest.mark.slow
 def test_sdxl_shape_class():
     """SDXL config: per-level transformer depth, head_dim-derived heads,
     attention only at levels 1-2 (BASELINE.md SDXL rows)."""

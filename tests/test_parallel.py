@@ -94,6 +94,7 @@ def test_ring_attention_grads(causal):
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("causal", [False, True])
 def test_ring_segment_ids(causal):
     """Packed sequences under ring SP: kv id chunks rotate alongside K/V;

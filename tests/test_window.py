@@ -79,6 +79,7 @@ def test_window_bounded_grid_path():
         assert float(jnp.max(jnp.abs(got - want))) < 2e-5, (window, causal)
 
 
+@pytest.mark.slow
 def test_window_bounded_grid_grads():
     """Bounded bwd grids (small blocks, kv_w < tk): grads must match the
     oracle, including tiles clamped at the sequence edges."""
@@ -154,6 +155,7 @@ def test_ring_attention_window():
         assert float(jnp.max(jnp.abs(got - want))) < 2e-5, (window, causal)
 
 
+@pytest.mark.slow
 def test_window_with_gqa_and_bias():
     """Window composes with GQA and a differentiable bias."""
     ks = jax.random.split(jax.random.PRNGKey(7), 4)
@@ -172,6 +174,7 @@ def test_window_with_gqa_and_bias():
     assert float(jnp.max(jnp.abs(db - dbw))) < 2e-3
 
 
+@pytest.mark.slow
 def test_window_gqa_unaligned_bf16_composition():
     """Composition stress over the resident band paths: GQA heads,
     causal+window band, non-tile-aligned N, bf16 storage — fwd and grads
