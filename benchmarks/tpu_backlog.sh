@@ -1,9 +1,9 @@
 #!/bin/bash
-# Round-2 on-chip backlog (NOTES.md "TPU backlog") in dependency order.
-# One TPU process at a time; every step logs to benchmarks/results/logs/.
-# Run from the repo root after the chip answers:
+# Round-3 on-chip backlog in dependency order. Every entry point takes the
+# TPU flock (utils/tpu_lock.py), so a stray concurrent process serializes
+# instead of corrupting timings. Logs to benchmarks/results/logs/.
 #   bash benchmarks/tpu_backlog.sh [stop_after]
-# stop_after: spot | refresh | bign | tests | bench (default: run everything)
+# stop_after: spot | refresh | sd | tests | bench (default: run everything)
 #
 # Tunnel flakiness: ~every 3rd TPU process can hang at startup with no error,
 # so every step runs under `timeout` and is retried once (the compile cache
@@ -16,7 +16,6 @@ STOP=${1:-bench}
 
 step() { echo "=== [$(date +%H:%M:%S)] $1" >&2; }
 
-# retry_run <timeout_s> <cmd...> — run under timeout, retry once on hang/kill.
 retry_run() {
   local t=$1; shift
   if timeout "$t" "$@"; then return 0; fi
@@ -29,9 +28,6 @@ retry_run() {
   timeout "$t" "$@"
 }
 
-# retry_run_out <timeout_s> <outfile> <cmd...> — like retry_run, but stdout
-# goes to <outfile>, truncated per attempt so a hung first attempt's partial
-# jsonl lines never prefix the retry's output.
 retry_run_out() {
   local t=$1 out=$2; shift 2
   if timeout "$t" "$@" > "$out"; then return 0; fi
@@ -44,32 +40,26 @@ retry_run_out() {
   timeout "$t" "$@" > "$out"
 }
 
-# 1. Numerics gate + headline rates for every resident route Mosaic compiles.
-#    If fwd+bwd causal regresses vs the flat kernel (~111), bisect with
-#    FLASHATTN_TPU_RB_MAXN=0 before refreshing sweeps.
+# 1. Numerics gate + headline rates for every resident route (median-of-5
+#    timing; the round-2 204-TFLOPS outlier was a single-shot min).
 step "spot_resident"
 retry_run 2400 python benchmarks/spot_resident.py 2>&1 \
   | tee "$LOGD/spot_resident.log"
 
-# 1b. Packed-sequence (segment_ids) Mosaic compile + numerics gate.
 step "spot_segments"
 retry_run 1800 python benchmarks/spot_segments.py 2>&1 \
   | tee "$LOGD/spot_segments.log"
 [ "$STOP" = spot ] && exit 0
 
-# 2. Refresh every committed sweep (committed causal jsonl still hold
-#    flat-grid-era numbers). refresh_results.sh runs many python processes;
-#    retry the whole script is wasteful, so each is retried here per-sweep
-#    by rerunning the script — its `run` writes to .tmp then mv, so a rerun
-#    only redoes what didn't land. Give it two chances.
+# 2. Roofline + every attention sweep, one session (refresh_results.sh
+#    measures the roofline first; every "ours" row carries mfu + spread).
 step "refresh_results"
-retry_run 7200 bash benchmarks/refresh_results.sh 2>&1 \
+retry_run 9000 bash benchmarks/refresh_results.sh 2>&1 \
   | tee "$LOGD/refresh_results.log"
 [ "$STOP" = refresh ] && exit 0
 
-# 2b. Decode + SD end-to-end sweeps (their committed jsonl predate the
-#     resident kernels and the 1e-30 grad-keepalive fix).
-step "decode + diffusion"
+# 3. Decode, SD sample/train/train-LoRA, LM sweeps.
+step "decode + diffusion + lm"
 retry_run_out 2400 benchmarks/results/decode.jsonl.tmp \
   python benchmarks/bench_decode.py \
   && mv benchmarks/results/decode.jsonl.tmp benchmarks/results/decode.jsonl
@@ -81,18 +71,16 @@ retry_run_out 3600 benchmarks/results/sd_train_its.jsonl.tmp \
   python benchmarks/bench_diffusion.py --mode train \
   && mv benchmarks/results/sd_train_its.jsonl.tmp \
         benchmarks/results/sd_train_its.jsonl
+# the reference's actual training row is SDXL *LoRA* (README.md:134-154)
+retry_run_out 3600 benchmarks/results/sd_train_lora_its.jsonl.tmp \
+  python benchmarks/bench_diffusion.py --mode train_lora \
+  && mv benchmarks/results/sd_train_lora_its.jsonl.tmp \
+        benchmarks/results/sd_train_lora_its.jsonl
 retry_run_out 2400 benchmarks/results/lm_train_tokens.jsonl.tmp \
   python benchmarks/bench_lm.py \
   && mv benchmarks/results/lm_train_tokens.jsonl.tmp \
         benchmarks/results/lm_train_tokens.jsonl
-
-# 3. Big-N resident ceilings: does bounded lookahead fix the N=8192 spill?
-step "big-N resident spot"
-# env(1) scopes the ceilings to this step: `VAR=x shell_function` would
-# leak them into the later steps in bash.
-retry_run 2400 env FLASHATTN_TPU_RC_MAXN=8192 FLASHATTN_TPU_RB_MAXN=8192 \
-  python benchmarks/spot_resident.py --big-n 2>&1 | tee "$LOGD/spot_bign.log"
-[ "$STOP" = bign ] && exit 0
+[ "$STOP" = sd ] && exit 0
 
 # 4. Real-chip test suite (compiled Mosaic kernels; catches what interpret
 #    mode cannot).
@@ -104,18 +92,16 @@ retry_run 5400 env FLASHATTN_TPU_TEST_BACKEND=tpu python -m pytest \
   2>&1 | tee "$LOGD/tpu_pytest.log"
 [ "$STOP" = tests ] && exit 0
 
-# 4a. In-kernel RDMA ring: 1-chip Mosaic compile + numerics gate (cross-
-#     device RDMA itself is interpret-validated; tests/test_ring_kernel.py).
+# 4a. In-kernel RDMA ring: 1-chip Mosaic compile + numerics gate.
 step "ring kernel spot"
 retry_run 1800 python benchmarks/spot_ring_kernel.py 2>&1 \
   | tee "$LOGD/spot_ring_kernel.log"
 
-# 4b. Device traces: fused fwd/bwd kernels + the degenerate 1-chip ring
-#     step (the ring-overlap schedule artifact — VERDICT r1 item 4).
+# 4b. Device traces: fused fwd/bwd kernels + the degenerate 1-chip ring.
 step "trace capture"
-retry_run 1200 python benchmarks/capture_trace.py --causal \
+retry_run 1800 python benchmarks/capture_trace.py --causal \
   --out benchmarks/results/traces/kernel 2>&1 | tee "$LOGD/trace_kernel.log"
-retry_run 1200 python benchmarks/capture_trace.py --ring \
+retry_run 1800 python benchmarks/capture_trace.py --ring \
   --out benchmarks/results/traces/ring 2>&1 | tee "$LOGD/trace_ring.log"
 
 # 5. Headline bench line (what the driver records).

@@ -717,10 +717,12 @@ _RC_SUB_Q = int(os.environ.get("FLASHATTN_TPU_RC_SUBQ", 512))
 _RC_SUB_K = int(os.environ.get("FLASHATTN_TPU_RC_SUBK", 2048))
 # Scoped-VMEM budget for issued-but-unconsumed f32 score tiles (the
 # dominant live term of the bounded-lookahead schedule). The kernel's other
-# residents (chain state ~0.75 MB/chain, Q/K/V/O blocks) plus Mosaic's own
-# temporaries must fit in the remaining ~68 MB of the 100 MB scoped limit.
+# residents (chain state ~0.75 MB/chain, the f32 LSE block when the
+# backward needs residuals, Mosaic's own temporaries) must fit in the rest
+# of the 100 MB scoped limit — 32 MB measured 100.11M total at N=8192
+# with return_lse (OOM by 108 KB); 24 MB clears it with margin.
 _RC_PENDING_BUDGET = int(os.environ.get(
-    "FLASHATTN_TPU_RC_PENDING_MB", 32)) * 1024 * 1024
+    "FLASHATTN_TPU_RC_PENDING_MB", 24)) * 1024 * 1024
 
 
 def _rc_geometry(Nqp):
