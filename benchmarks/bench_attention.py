@@ -234,7 +234,8 @@ def main():
         # (bench_with_sdpa.py:112, 201); D scan at N=4096 (:259-260)
         n_sweep = [512, 1024, 2048, 3072, 4096, 5120]
         if args.mode == "fwd":
-            n_sweep += [6144, 7168]
+            # reference tops out at 7168; 8192 extends the long-context story
+            n_sweep += [6144, 7168, 8192]
         d_sweep = [64, 80, 128, 160, 256]
     if args.unaligned:
         # precision_test.py-class shapes: N 1 off a tile, odd D

@@ -102,14 +102,20 @@ def child(mode, B, H, N, D):
     }), flush=True)
 
 
-def run(tag, mode, env, B=1, H=24, N=4096, D=128, timeout=900):
+def run(tag, mode, env, B=1, H=24, N=4096, D=128, timeout=1800):
     e = dict(os.environ)
     e.update({k: str(v) for k, v in env.items()})
     print(f"--- {tag}: {mode} N={N} D={D} {env}", flush=True)
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", mode,
-         str(B), str(H), str(N), str(D)],
-        env=e, cwd=REPO, timeout=timeout, capture_output=True, text=True)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", mode,
+             str(B), str(H), str(N), str(D)],
+            env=e, cwd=REPO, timeout=timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        # a hung tunnel or a pathological Mosaic compile must not kill the
+        # rest of the matrix — record and move on
+        print(f"FAILED timeout after {timeout}s", flush=True)
+        return
     out = r.stdout.strip()
     print(out if out else f"(no output, rc={r.returncode})", flush=True)
     if r.returncode != 0:
@@ -150,6 +156,33 @@ MATRICES = {
         ("rc8k-check", "check", {"FLASHATTN_TPU_RC_MAXN": 8192,
                                  "FLASHATTN_TPU_RB_MAXN": 8192}, 8192),
     ],
+    # round 2 of the causal fwd+bwd hunt: the flat fused bwd beat the
+    # resident (128.7 vs 121.4) — probe its block/chunk space, and check
+    # whether flat also wins at 5120/6144 (resident measured 133.8/137.8).
+    "bwd4k2": [
+        ("flat-tri128", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                    "FLASHATTN_TPU_TRIF": 128}),
+        ("flat-tri512", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                    "FLASHATTN_TPU_TRIF": 512}),
+        ("flat-bq2048-tri512", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                           "FLASHATTN_TPU_BQF": 2048,
+                                           "FLASHATTN_TPU_BKF": 2048,
+                                           "FLASHATTN_TPU_TRIF": 512}),
+        ("flat-bq2048-tri256", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                           "FLASHATTN_TPU_BQF": 2048,
+                                           "FLASHATTN_TPU_BKF": 2048,
+                                           "FLASHATTN_TPU_TRIF": 256}),
+        ("flat-bwd5k", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0}, 5120),
+        ("flat-bwd6k", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0}, 6144),
+    ],
+    # causal fwd N=4096: can the resident forward reach its pre-outage ~163?
+    "fwd4k": [
+        ("rc4k-default", "fwd", {}),
+        ("rc4k-subk1024", "fwd", {"FLASHATTN_TPU_RC_SUBK": 1024}),
+        ("rc4k-subq256", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 256}),
+        ("rc4k-subq1024", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 1024}),
+        ("flat4k-fwd", "fwd", {"FLASHATTN_TPU_RC_MAXN": 0}),
+    ],
     # D=64 noncausal fwd (VERDICT #5): ~88 TF vs the measured ~109
     # thin-matmul ceiling. Wider q blocks amortize the per-grid-step floor;
     # split variants change the MXU/VPU interleave granularity.
@@ -167,6 +200,23 @@ MATRICES = {
                                       "FLASHATTN_TPU_BK": 4096}, 4096, 64),
         ("d64-kvs4", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
                              "FLASHATTN_TPU_KV_SPLITS": 4}, 4096, 64),
+    ],
+    "d64b": [
+        ("d64-bq2048-bk4096-kvs2", "fwd", {
+            "FLASHATTN_TPU_TUNE_CAUSAL": 0, "FLASHATTN_TPU_BQ": 2048,
+            "FLASHATTN_TPU_BK": 4096, "FLASHATTN_TPU_KV_SPLITS": 2},
+         4096, 64),
+        ("d64-bq4096-bk4096", "fwd", {
+            "FLASHATTN_TPU_TUNE_CAUSAL": 0, "FLASHATTN_TPU_BQ": 4096,
+            "FLASHATTN_TPU_BK": 4096}, 4096, 64),
+        ("d64-bq2048-bk4096-q2", "fwd", {
+            "FLASHATTN_TPU_TUNE_CAUSAL": 0, "FLASHATTN_TPU_BQ": 2048,
+            "FLASHATTN_TPU_BK": 4096, "FLASHATTN_TPU_Q_SPLITS": 2},
+         4096, 64),
+        # L=2 lookahead: pending 8 MB — does resident 8192 fit with H>1
+        # (double-buffered seq blocks) and keep enough MXU/VPU overlap?
+        ("rc8k-p8", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192,
+                            "FLASHATTN_TPU_RC_PENDING_MB": 8}, 8192, 128),
     ],
     # D=160 mini-sweep (NOTES promise): partial-lane tile behavior
     "d160": [

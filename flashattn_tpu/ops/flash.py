@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -390,8 +391,12 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     # available when offsets are compile-time, no bias gradient is needed,
     # and the whole-sequence f32 dQ accumulator fits VMEM.
     dp_ = _pad_head_dim(D)
-    bq_f = max(128, min(1024, _round_up(Nq, 128)))
-    bk_f = max(128, min(1024, _round_up(Nk, 128)))
+    _bqf_env = os.environ.get("FLASHATTN_TPU_BQF")
+    _bkf_env = os.environ.get("FLASHATTN_TPU_BKF")
+    bq_f = max(128, min(int(_bqf_env) if _bqf_env else 1024,
+                        _round_up(Nq, 128)))
+    bk_f = max(128, min(int(_bkf_env) if _bkf_env else 1024,
+                        _round_up(Nk, 128)))
     nqp_f = _round_up(Nq, bq_f)
     use_fused = (
         bias is None and seg_q is None and softcap is None

@@ -579,7 +579,9 @@ def bwd_fused_padded(
 
     # Triangular diagonal pairs (see _compute_tri): sound exactly when every
     # non-full live pair is diagonal — same gate as the forward's tri path.
-    tri_sub = max(NUM_LANES, block_q // 4)
+    _trif = os.environ.get("FLASHATTN_TPU_TRIF")
+    tri_sub = max(NUM_LANES,
+                  int(_trif) if _trif else block_q // 4)
     tri_edge = bool(
         causal and window is None and kv_valid_len == Nkp
         and block_q == block_k
