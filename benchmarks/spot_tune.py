@@ -201,6 +201,33 @@ MATRICES = {
         ("d64-kvs4", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
                              "FLASHATTN_TPU_KV_SPLITS": 4}, 4096, 64),
     ],
+    # round 3: combine the measured winners and find the crossovers
+    "combo": [
+        ("fwd-subq256-subk1024", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 256,
+                                         "FLASHATTN_TPU_RC_SUBK": 1024}),
+        ("fwd-subq128", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 128}),
+        ("fwd5k-subq256", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 256,
+                                  "FLASHATTN_TPU_RC_MAXN": 8192}, 5120),
+        ("fwd6k-subq256", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 256,
+                                  "FLASHATTN_TPU_RC_MAXN": 8192}, 6144),
+        ("best-fwdbwd4k", "fwd_bwd", {"FLASHATTN_TPU_RC_SUBQ": 256,
+                                      "FLASHATTN_TPU_RB_MAXN": 0,
+                                      "FLASHATTN_TPU_BQF": 2048,
+                                      "FLASHATTN_TPU_BKF": 2048,
+                                      "FLASHATTN_TPU_TRIF": 256}),
+        ("nc-fwdbwd-bq2048", "fwd_bwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                                         "FLASHATTN_TPU_BQF": 2048,
+                                         "FLASHATTN_TPU_BKF": 2048}),
+        ("flat-bwd8k-bq2048", "fwd_bwd", {"FLASHATTN_TPU_RC_MAXN": 4096,
+                                          "FLASHATTN_TPU_RB_MAXN": 0,
+                                          "FLASHATTN_TPU_BQF": 2048,
+                                          "FLASHATTN_TPU_BKF": 2048,
+                                          "FLASHATTN_TPU_TRIF": 256}, 8192),
+        ("res-bwd5k-subq256", "fwd_bwd", {"FLASHATTN_TPU_RC_SUBQ": 256,
+                                          "FLASHATTN_TPU_RC_MAXN": 8192,
+                                          "FLASHATTN_TPU_RB_MAXN": 8192},
+         5120),
+    ],
     "d64b": [
         ("d64-bq2048-bk4096-kvs2", "fwd", {
             "FLASHATTN_TPU_TUNE_CAUSAL": 0, "FLASHATTN_TPU_BQ": 2048,

@@ -51,18 +51,25 @@ int fa_plan(int nq, int nk, int d, int itemsize, int causal, int has_bias,
   // Must mirror ops/flash.py::_python_block_policy exactly (test_native.py).
   const bool big_d = d > 256;
   const bool small = big_d || has_bias;
-  out->block_q = fit(nq, small ? 512 : 1024);
+  // Thin-matmul shapes (D <= 64, noncausal, no bias): wider tiles amortize
+  // the per-grid-step pipeline floor (86.6 -> 92.2 TFLOP/s at N=4096 D=64,
+  // spot_tune d64 matrix, r3). — mirrors ops/flash.py::_python_block_policy
+  const bool thin = d <= 64 && !causal && !has_bias && nq > 32;
+  int bq_pref = thin ? 2048 : (small ? 512 : 1024);
+  while (bq_pref >= 2048 && round_up(nq, bq_pref / 2) < round_up(nq, bq_pref))
+    bq_pref /= 2;
+  out->block_q = fit(nq, bq_pref);
   // Decode shapes (nq <= 32): 16-row Q tile — sublane-aligned, skips the
   // ~8x wasted MXU/VPU work of padding Nq to 128. Mirrors the Python policy.
   if (nq <= 32) out->block_q = std::max(16, round_up(nq, 16));
   // 2048-wide blocks run as 2x1024 sub-tiles in-kernel (MXU/VPU overlap).
   // Causal prefers square 1024 tiles: the flat-grid diagonal block is then
   // exactly half-masked with no fully-dead sub-tile. Off-multiple Nk drops
-  // to 1024-wide blocks when that shrinks the padded tail.
+  // to narrower blocks when that shrinks the padded tail.
   // — mirrors ops/flash.py::_python_block_policy
-  int bk_pref = big_d ? 512 : (causal ? 1024 : 2048);
-  if (bk_pref == 2048 && round_up(nk, 1024) < round_up(nk, 2048))
-    bk_pref = 1024;
+  int bk_pref = big_d ? 512 : (causal ? 1024 : (thin ? 4096 : 2048));
+  while (bk_pref >= 2048 && round_up(nk, bk_pref / 2) < round_up(nk, bk_pref))
+    bk_pref /= 2;
   out->block_k = fit(nk, bk_pref);
   int bq_dkv_pref = big_d ? 256 : (has_bias ? 512 : 2048);
   if (bq_dkv_pref == 2048 && round_up(nq, 1024) < round_up(nq, 2048))

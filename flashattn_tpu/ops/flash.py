@@ -101,7 +101,16 @@ def _python_block_policy(nq: int, nk: int, d: int, itemsize: int,
     # (1024, 1024) pair overflows the ~16 MB scoped-VMEM budget, so cap the
     # Q-tile rows at 512 (measured ≤5% fwd cost, flash.py block sweep).
     small = d > 256 or has_bias
-    block_q = fit(nq, 512 if small else 1024)
+    # Thin-matmul shapes (D ≤ 64, noncausal, no bias): both matmuls run at
+    # the ~129 TFLOP/s thin ceiling, so the per-grid-step pipeline floor is
+    # a bigger fraction of each block — wider tiles amortize it
+    # (86.6 → 92.2 TFLOP/s at N=4096 D=64, spot_tune d64 matrix, r3).
+    thin = d <= 64 and not causal and not has_bias and nq > 32
+    bq_pref = 2048 if thin else (512 if small else 1024)
+    while (bq_pref >= 2048
+           and _round_up(nq, bq_pref // 2) < _round_up(nq, bq_pref)):
+        bq_pref //= 2
+    block_q = fit(nq, bq_pref)
     if nq <= 32:
         block_q = max(16, _round_up(nq, 16))
     # 2048-wide blocks run as 2×1024 sub-tiles inside the kernels (MXU/VPU
@@ -111,10 +120,11 @@ def _python_block_policy(nq: int, nk: int, d: int, itemsize: int,
     # no fully-dead sub-tile. Off-multiple Nk (e.g. 3072, 5120) drops to
     # 1024-wide blocks when that shrinks the padded tail (a 33% pad at
     # N=3072 measured 62 vs 85 TFLOP/s).
-    bk_pref = 512 if d > 256 else (1024 if causal else 2048)
-    if (bk_pref == 2048
-            and _round_up(nk, 1024) < _round_up(nk, 2048)):
-        bk_pref = 1024
+    bk_pref = 512 if d > 256 else (1024 if causal else (
+        4096 if thin else 2048))
+    while (bk_pref >= 2048
+           and _round_up(nk, bk_pref // 2) < _round_up(nk, bk_pref)):
+        bk_pref //= 2
     return BlockSizes(
         block_q=block_q,
         block_k=fit(nk, bk_pref),
