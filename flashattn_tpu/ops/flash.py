@@ -189,9 +189,9 @@ def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
     nqp = info.get("nq_padded", _round_up(Nq, info.get("block_q", 128)))
     nkp = info.get("nk_padded", _round_up(Nk, info.get("block_k", 128)))
     # Mirror _flash_core_fwd_impl's chain-granular padding refinement.
-    nr = _round_up(max(Nq, Nk), _ff._RC_SUB_Q)
+    nr = _round_up(max(Nq, Nk), _ff._RC_CHAIN_PAD)
     if (nr < max(nqp, nkp)
-            and nr == _round_up(max(min(Nq, Nk), 1), _ff._RC_SUB_Q)):
+            and nr == _round_up(max(min(Nq, Nk), 1), _ff._RC_CHAIN_PAD)):
         sq, sk = _ff._rc_geometry(nr)
         if _ff._use_resident_causal(
                 causal=causal, window=None, need_tail_mask=Nk != nr,
@@ -324,9 +324,9 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
     # rows), not the flat-grid block: with 1024/2048 blocks an unaligned
     # N=3073 otherwise pads to 4096 — 33% dead rows on the hot causal path.
     # Blocks drop to 512 alongside so the flat grid stays valid either way.
-    nr = _round_up(max(Nq, Nk), flash_fwd._RC_SUB_Q)
+    nr = _round_up(max(Nq, Nk), flash_fwd._RC_CHAIN_PAD)
     if nr < max(nqp, nkp) and nr == _round_up(
-            max(min(Nq, Nk), 1), flash_fwd._RC_SUB_Q):
+            max(min(Nq, Nk), 1), flash_fwd._RC_CHAIN_PAD):
         sq, sk = flash_fwd._rc_geometry(nr)
         if flash_fwd._use_resident_causal(
                 causal=causal, window=window, need_tail_mask=Nk != nr,
@@ -334,7 +334,7 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
                 static_offsets=static_offsets,
                 Nqp=nr, Nkp=nr, D=D, sub_q=sq, sub_k=sk, seg=seg_q):
             nqp = nkp = nr
-            bq = bk = flash_fwd._RC_SUB_Q
+            bq = bk = flash_fwd._RC_CHAIN_PAD
     dp = _pad_head_dim(D)
 
     qp = _pad_axis(_pad_axis(q, 2, nqp), 3, dp)
@@ -401,12 +401,20 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     # available when offsets are compile-time, no bias gradient is needed,
     # and the whole-sequence f32 dQ accumulator fits VMEM.
     dp_ = _pad_head_dim(D)
+    # 2048² fused-bwd blocks with 256-row tri chunks measured best (r3
+    # tuning matrices): causal fwd+bwd 151 TF at N=4096 (vs 129 at 1024²),
+    # 149 at N=8192; noncausal unchanged (155.5 vs 155.4).
     _bqf_env = os.environ.get("FLASHATTN_TPU_BQF")
     _bkf_env = os.environ.get("FLASHATTN_TPU_BKF")
-    bq_f = max(128, min(int(_bqf_env) if _bqf_env else 1024,
+    bq_f = max(128, min(int(_bqf_env) if _bqf_env else 2048,
                         _round_up(Nq, 128)))
-    bk_f = max(128, min(int(_bkf_env) if _bkf_env else 1024,
+    bk_f = max(128, min(int(_bkf_env) if _bkf_env else 2048,
                         _round_up(Nk, 128)))
+    # pad-aware: don't buy wide tiles with a fatter padded tail
+    while bq_f >= 2048 and _round_up(Nq, bq_f // 2) < _round_up(Nq, bq_f):
+        bq_f //= 2
+    while bk_f >= 2048 and _round_up(Nk, bk_f // 2) < _round_up(Nk, bk_f):
+        bk_f //= 2
     nqp_f = _round_up(Nq, bq_f)
     use_fused = (
         bias is None and seg_q is None and softcap is None

@@ -463,8 +463,14 @@ def _bwd_causal_resident_kernel(
 
 # Same budget rationale as the forward's resident path: the unrolled
 # dataflow accumulators must stay VMEM/register-resident, and the pair
-# count grows as (N/sub)². N=4096 (10 pairs at sub=1024) fits.
-_RESIDENT_BWD_MAX_N = int(os.environ.get("FLASHATTN_TPU_RB_MAXN", 4096))
+# count grows as (N/sub)². Routing (r3 tuning matrices, fwd+bwd causal
+# D=128, median-of-5): the wide-tile flat fused bwd (2048² blocks, 256-row
+# tri chunks) wins wherever 2048 tiles fit without pad loss — 151 vs 121
+# TFLOP/s at N=4096, 149 at N=8192 where the resident variant cannot even
+# compile (O(N²) Mosaic stack). The resident kernel wins 2048-odd padded
+# lengths, where the flat path degrades to 1024 blocks (N=5120: 137.4 vs
+# ~126) — and small/divisor shapes (2560 → 640-tiles) it serves exactly.
+_RESIDENT_BWD_MAX_N = int(os.environ.get("FLASHATTN_TPU_RB_MAXN", 6144))
 # Pair tile / diagonal-chunk width / pair-pipelining depth — all
 # env-overridable for on-chip tuning sweeps (spot_bwd_tune.py).
 _RB_SUB = int(os.environ.get("FLASHATTN_TPU_RB_SUB", 1024))
@@ -498,6 +504,9 @@ def _use_resident_bwd(*, causal, window, static_offsets, Nqp, Nkp, sub):
         and static_offsets is not None
         and static_offsets[0] == static_offsets[1]
         and Nqp == Nkp and Nqp <= _RESIDENT_BWD_MAX_N
+        # only where the wide-tile flat path pads or under-tiles (see the
+        # routing measurements above)
+        and (Nqp % 2048 != 0 or Nqp < 2048)
         and Nqp % sub == 0
     )
 
@@ -579,9 +588,11 @@ def bwd_fused_padded(
 
     # Triangular diagonal pairs (see _compute_tri): sound exactly when every
     # non-full live pair is diagonal — same gate as the forward's tri path.
+    # 256-row diagonal chunks measured best at every block size (r3 tuning:
+    # bq1024 tri256 128.7 vs tri128 122.9 / tri512 121.3; bq2048 tri256
+    # 132.0 vs tri512 125.4 — fwd+bwd causal N=4096 D=128).
     _trif = os.environ.get("FLASHATTN_TPU_TRIF")
-    tri_sub = max(NUM_LANES,
-                  int(_trif) if _trif else block_q // 4)
+    tri_sub = max(NUM_LANES, min(int(_trif) if _trif else 256, block_q))
     tri_edge = bool(
         causal and window is None and kv_valid_len == Nkp
         and block_q == block_k

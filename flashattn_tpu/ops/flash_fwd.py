@@ -700,21 +700,27 @@ def _fwd_causal_resident_kernel(
                     dead, LN2 * mask_value, m * LN2 + jnp.log(l_safe))
 
 
-# Whole-sequence budget for the resident-causal path: the unrolled chain
-# state must stay register/VMEM-resident — N=8192 (16 chains) measured 131 MB
-# of vector-register spill slots and OOMed VMEM; N=4096 (8 chains) fits and
-# runs 148 TFLOP/s equal-work (v5e). Longer sequences use the flat grid,
-# whose per-row overhead amortizes at large N anyway (136 TF at 8192).
-_RESIDENT_CAUSAL_MAX_N = int(os.environ.get("FLASHATTN_TPU_RC_MAXN", 4096))
-# Chain geometry: 512-row chains × 2048-wide kv tiles measured best at
-# N=4096 D=128 on v5e — 163 TFLOP/s equal-work vs 150/148/139 for
-# (512,1024)/(1024,1024)/(512,4096); nearly the non-causal rate (167).
-# Chains stay 512 rows at every N: liveness past 4096 is bounded by the
-# VMEM-budgeted lookahead below, not by widening the chains (wider chains
-# quadruple the pending f32 score-tile size — the N=8192 scoped-VMEM OOM).
+# Whole-sequence budget for the resident-causal path: Mosaic's stack
+# allocation for the fully-unrolled band grows ~O(N²) regardless of the
+# bounded lookahead (measured r3: ~110 MB scoped at N=8192 whether the
+# pending budget is 8 or 48 MB — the allocator does not free consumed
+# score tiles), so N=8192 cannot compile at H>1 (double-buffered seq
+# blocks). N=6144 fits (137.6 TF); 8192 uses the flat grid (132.9 TF fwd,
+# 149 TF fwd+bwd with the 2048² fused bwd).
+_RESIDENT_CAUSAL_MAX_N = int(os.environ.get("FLASHATTN_TPU_RC_MAXN", 6144))
+# Chain geometry (r3 tuning matrices, median-of-5, causal N=4096 D=128):
+# 256-row chains × 2048-wide kv tiles measured 152.4 TFLOP/s vs 142.4 at
+# (512, 2048) and 127 at (1024, 2048); at N=5120 256-row chains give 146.6
+# vs 140.7. N=6144 regresses with 24 chains (122 vs 137.6) — 512-row
+# chains there. Liveness past 4096 is bounded by the VMEM-budgeted
+# lookahead below, not by widening the chains (wider chains quadruple the
+# pending f32 score-tile size — the N=8192 scoped-VMEM OOM).
 # Both knobs are env-overridable for on-chip tuning sweeps.
-_RC_SUB_Q = int(os.environ.get("FLASHATTN_TPU_RC_SUBQ", 512))
+_RC_SUB_Q = os.environ.get("FLASHATTN_TPU_RC_SUBQ")
 _RC_SUB_K = int(os.environ.get("FLASHATTN_TPU_RC_SUBK", 2048))
+# Chain-granular padding unit for resident-eligible unaligned shapes
+# (flash.py pads near-square causal shapes to this, not the flat block).
+_RC_CHAIN_PAD = int(_RC_SUB_Q) if _RC_SUB_Q else 512
 # Scoped-VMEM budget for issued-but-unconsumed f32 score tiles (the
 # dominant live term of the bounded-lookahead schedule). The kernel's other
 # residents (chain state ~0.75 MB/chain, the f32 LSE block when the
@@ -729,7 +735,9 @@ def _rc_geometry(Nqp):
     # Largest lane-aligned widths <= the defaults that divide the padded
     # sequence — N = 2560/3072/5120/7168 would otherwise fall off the
     # resident route only because 2048 doesn't divide them.
-    sub_q = min(_RC_SUB_Q, Nqp)
+    sub_q_pref = (int(_RC_SUB_Q) if _RC_SUB_Q
+                  else (256 if Nqp <= 5120 else 512))
+    sub_q = min(sub_q_pref, Nqp)
     while sub_q > NUM_LANES and (Nqp % sub_q or sub_q % NUM_LANES):
         sub_q -= NUM_LANES
     sub_k = min(_RC_SUB_K, Nqp)

@@ -89,9 +89,13 @@ def time_chained_stats(
 
     samples = measure(warmup_iters, iters)
     # Small workloads can measure at relay-noise level (the differenced time
-    # is ~0); escalate the chain length until the signal dominates.
+    # is ~0); escalate the chain length until the signal dominates. 50 ms
+    # minimum differenced span: 30 ms chains through the tunnel still swung
+    # ±15% between sessions (r3: the same fwd+bwd config measured 125, 133
+    # and 151 TFLOP/s on 29 ms chains; 130 ms chains pinned it at 132-134
+    # with 2-6% spread).
     n_short, n_long = warmup_iters, iters
-    while _median(samples) * (n_long - n_short) < 20e-3 and n_long < 4096:
+    while _median(samples) * (n_long - n_short) < 50e-3 and n_long < 4096:
         n_short, n_long = n_long, n_long * 4
         samples = measure(n_short, n_long)
     med = max(_median(samples), 1e-9)

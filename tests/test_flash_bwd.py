@@ -87,14 +87,19 @@ def test_bwd_adversarial_reference_shape():
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
-def test_bwd_resident_causal_route_and_tail():
-    """Square causal backward at N ≤ 4096 with compile-time offsets routes
-    through the whole-sequence resident fused kernel (flash_bwd_fused.
+def test_bwd_resident_causal_route_and_tail(monkeypatch):
+    """With the resident route enabled (RB_MAXN — default-off since r3: the
+    wide-tile flat fused bwd measured faster at every N), square causal
+    backward at N ≤ 4096 with compile-time offsets routes through the
+    whole-sequence resident fused kernel (flash_bwd_fused.
     _bwd_causal_resident_kernel); unaligned N exercises its static
     padded-tail column bound. Both must match oracle grads."""
     from unittest import mock
 
     from flashattn_tpu.ops import flash_bwd_fused as fb
+
+    monkeypatch.setattr(fb, "_RESIDENT_BWD_MAX_N", 4096)
+    jax.clear_caches()  # same-shape traces may hold the default routing
 
     calls = []
     orig = fb._bwd_causal_resident_kernel
@@ -119,15 +124,19 @@ def test_bwd_resident_causal_route_and_tail():
             q, k, v)
         for name, a, b in zip(("dq", "dk", "dv"), got, want):
             assert_close(a, b, BWD_TOL[jnp.float32.dtype], f"{name}@N={N}")
+    jax.clear_caches()  # drop the resident-routed traces
 
 
-def test_bwd_resident_geometry_divisor_tiles():
+def test_bwd_resident_geometry_divisor_tiles(monkeypatch):
     """N=2560: _rb_geometry shrinks the square pair tile to the largest
     lane-aligned divisor (640, with a 128-row diagonal chunk) so the
     resident route still applies; grads must match the oracle."""
     from unittest import mock
 
     from flashattn_tpu.ops import flash_bwd_fused as fb
+
+    monkeypatch.setattr(fb, "_RESIDENT_BWD_MAX_N", 4096)
+    jax.clear_caches()
 
     assert fb._rb_geometry(2560) == (640, 128)
     assert fb._rb_geometry(3072) == (1024, 256)
@@ -155,11 +164,16 @@ def test_bwd_resident_geometry_divisor_tiles():
         lambda q, k, v: attention_reference(q, k, v, causal=True), q, k, v)
     for name, a, b in zip(("dq", "dk", "dv"), got, want):
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+    jax.clear_caches()
 
 
-def test_bwd_resident_banded_windows():
+def test_bwd_resident_banded_windows(monkeypatch):
     """The resident fused backward also serves static sliding-window bands
     (causal+window and pure local window) — grads must match the oracle."""
+    from flashattn_tpu.ops import flash_bwd_fused as fb
+
+    monkeypatch.setattr(fb, "_RESIDENT_BWD_MAX_N", 4096)
+    jax.clear_caches()
     q, k, v = make_qkv(jax.random.PRNGKey(60), 1, 2, 384, 64)
     for kw in (dict(causal=True, window=(96, 0)),
                dict(causal=False, window=(64, 32))):
@@ -168,3 +182,4 @@ def test_bwd_resident_banded_windows():
             lambda q, k, v: attention_reference(q, k, v, **kw), q, k, v)
         for name, a, b in zip(("dq", "dk", "dv"), got, want):
             assert_close(a, b, BWD_TOL[jnp.float32.dtype], f"{name}@{kw}")
+    jax.clear_caches()

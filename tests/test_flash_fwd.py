@@ -138,7 +138,7 @@ def test_fwd_resident_causal_matches_flat_and_oracle():
         causal=True, window=None, need_tail_mask=False, bias=None,
         k_scale=None, v_scale=None, static_offsets=(0, 0),
         Nqp=N, Nkp=N, D=D,
-        sub_q=min(ff._RC_SUB_Q, N), sub_k=min(ff._RC_SUB_K, N))
+        sub_q=ff._rc_geometry(N)[0], sub_k=ff._rc_geometry(N)[1])
     want = attention_reference(q, k, v, causal=True)
     resident = flash_attention(q, k, v, causal=True)
     flat = flash_attention(
@@ -212,9 +212,10 @@ def test_fwd_resident_geometry_divisor_tiles():
     instead of dropping to the flat grid. Routing + oracle numerics."""
     from flashattn_tpu.ops import flash_fwd as ff
 
-    assert ff._rc_geometry(2560) == (512, 1280)
-    assert ff._rc_geometry(3072) == (512, 1536)
-    assert ff._rc_geometry(4096) == (512, 2048)
+    assert ff._rc_geometry(2560) == (256, 1280)
+    assert ff._rc_geometry(3072) == (256, 1536)
+    assert ff._rc_geometry(4096) == (256, 2048)
+    assert ff._rc_geometry(6144) == (512, 2048)  # 24 chains regressed (r3)
     assert ff._use_resident_causal(
         causal=True, window=None, need_tail_mask=False, bias=None,
         k_scale=None, v_scale=None, static_offsets=(0, 0),
