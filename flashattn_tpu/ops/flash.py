@@ -406,9 +406,14 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     # 149 at N=8192; noncausal unchanged (155.5 vs 155.4).
     _bqf_env = os.environ.get("FLASHATTN_TPU_BQF")
     _bkf_env = os.environ.get("FLASHATTN_TPU_BKF")
-    bq_f = max(128, min(int(_bqf_env) if _bqf_env else 2048,
+    # Windowed bands: the tri-chunk narrowing is causal-only, so window
+    # edge pairs run fully masked at full width — wide blocks multiply that
+    # waste (2048² measured 4.76 ms vs ~2.4 expected at window=2048
+    # N=4096); 1024 blocks keep ~⅓ of band pairs mask-free.
+    _bf_default = 1024 if window is not None else 2048
+    bq_f = max(128, min(int(_bqf_env) if _bqf_env else _bf_default,
                         _round_up(Nq, 128)))
-    bk_f = max(128, min(int(_bkf_env) if _bkf_env else 2048,
+    bk_f = max(128, min(int(_bkf_env) if _bkf_env else _bf_default,
                         _round_up(Nk, 128)))
     # pad-aware: don't buy wide tiles with a fatter padded tail
     while bq_f >= 2048 and _round_up(Nq, bq_f // 2) < _round_up(Nq, bq_f):
