@@ -245,6 +245,16 @@ MATRICES = {
         ("rc8k-p8", "fwd", {"FLASHATTN_TPU_RC_MAXN": 8192,
                             "FLASHATTN_TPU_RC_PENDING_MB": 8}, 8192, 128),
     ],
+    # round 3 (cont.): hierarchical causal decomposition past the resident
+    # ceiling (flash._fwd_causal_decomposed) + fused-bwd tri lookahead
+    "r3c": [
+        ("decomp8k-check", "check", {}, 8192),
+        ("decomp8k-fwd", "fwd", {}, 8192),
+        ("decomp8k-fwdbwd", "fwd_bwd", {}, 8192),
+        ("trila2-fwdbwd4k", "fwd_bwd", {}),
+        ("trila1-fwdbwd4k", "fwd_bwd", {"FLASHATTN_TPU_TRI_LA": 1}),
+        ("decomp12k-fwd", "fwd", {}, 12288),
+    ],
     # D=160 mini-sweep (NOTES promise): partial-lane tile behavior
     "d160": [
         ("d160-fwd", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0}, 4096, 160),

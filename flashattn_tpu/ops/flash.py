@@ -312,6 +312,116 @@ def _seg_block_flags(seg_q_pad, seg_kv_pad, block_q, block_k):
     return jnp.stack([run, full], axis=1).astype(jnp.int32)
 
 
+def _half_blocks(h):
+    """Largest power-of-two flat blocks dividing a half-sequence (the
+    decomposed rectangle call's noncausal dense grid)."""
+    bq = 1024 if h % 1024 == 0 else 512
+    bk = 2048 if h % 2048 == 0 else bq
+    return min(bq, h), min(bk, h)
+
+
+def _can_decompose_causal(*, causal, window, bias, seg, static_offsets,
+                          nqp, nkp, kv_valid_len, D):
+    """Two-level causal decomposition eligibility (see
+    :func:`_fwd_causal_decomposed`)."""
+    if not (causal and window is None and bias is None and seg is None
+            and static_offsets is not None
+            and static_offsets[0] == static_offsets[1]
+            and nqp == nkp
+            and nqp > flash_fwd._RESIDENT_CAUSAL_MAX_N
+            and nqp % 1024 == 0
+            and kv_valid_len > nqp // 2):
+        return False
+    h = nqp // 2
+    sq, sk = flash_fwd._rc_geometry(h)
+    if flash_fwd._use_resident_causal(
+            causal=True, window=None, need_tail_mask=False, bias=None,
+            k_scale=None, v_scale=None, static_offsets=(0, 0),
+            Nqp=h, Nkp=h, D=D, sub_q=sq, sub_k=sk):
+        return True
+    # Recurse: 16384 → 8192 halves → 4096 residents.
+    return _can_decompose_causal(
+        causal=True, window=None, bias=None, seg=None,
+        static_offsets=(0, 0), nqp=h, nkp=h, kv_valid_len=h, D=D)
+
+
+def _fwd_causal_decomposed(qp, kp, vp, *, scale, kv_valid_len, interpret,
+                           return_lse, softcap):
+    """Hierarchical causal forward for N past the resident-kernel ceiling.
+
+    The causal band over padded ``[B, H, N, D]`` splits at N/2 into three
+    static sub-problems, each served by its fastest kernel:
+
+      * rows 0..h    × cols 0..h    — causal: resident kernel (or recurse);
+      * rows h..N    × cols 0..h    — full rectangle: dense unmasked grid
+        (the fastest path in the suite — no masking at all);
+      * rows h..N    × cols h..N    — causal: resident kernel (or recurse).
+
+    The two bottom partials merge with the online-softmax algebra on their
+    LSEs (the exact rule the ring layer uses, SURVEY.md §5): with
+    ``lse = logaddexp(lse_a, lse_b)``, ``O = e^{lse_a−lse}·O_a +
+    e^{lse_b−lse}·O_b``. The merge is one elementwise pass over half the
+    rows (~2% of the band FLOPs at N=8192) and is exact — no approximation.
+
+    Rationale: the resident kernel cannot compile past N=6144 (Mosaic's
+    scoped-VMEM stack for the unrolled band grows O(N²) — see
+    flash_fwd._RESIDENT_CAUSAL_MAX_N), and the flat grid pays per-step
+    pipeline bubbles that cap causal N=8192 at ~132 TFLOP/s. The
+    decomposition runs every FLOP on resident/dense rates instead.
+    Role-parity: the reference sweeps causal to N=7168 through one kernel
+    (bench_with_sdpa.py:201-224); here long context is a first-class
+    routing tier.
+    """
+    B, Hq, n, Dp = qp.shape
+    Hkv = kp.shape[1]
+    h = n // 2
+    offs = jnp.zeros((2,), jnp.int32)
+
+    def causal_half(qh, kh, vh, kvl, need_lse):
+        sq, sk = flash_fwd._rc_geometry(h)
+        if flash_fwd._use_resident_causal(
+                causal=True, window=None, need_tail_mask=kvl != h, bias=None,
+                k_scale=None, v_scale=None, static_offsets=(0, 0),
+                Nqp=h, Nkp=h, D=Dp, sub_q=sq, sub_k=sk):
+            bq = bk = flash_fwd._RC_CHAIN_PAD
+        else:
+            bq, bk = _half_blocks(h)
+        if h > flash_fwd._RESIDENT_CAUSAL_MAX_N and _can_decompose_causal(
+                causal=True, window=None, bias=None, seg=None,
+                static_offsets=(0, 0), nqp=h, nkp=h, kv_valid_len=kvl, D=Dp):
+            return _fwd_causal_decomposed(
+                qh, kh, vh, scale=scale, kv_valid_len=kvl,
+                interpret=interpret, return_lse=need_lse, softcap=softcap)
+        return flash_fwd.fwd_padded(
+            qh, kh, vh, None, offs, scale=scale, causal=True,
+            block_q=bq, block_k=bk, kv_valid_len=kvl, return_lse=need_lse,
+            num_heads_q=Hq, interpret=interpret, static_offsets=(0, 0),
+            softcap=softcap)
+
+    q1, q2 = qp[:, :, :h], qp[:, :, h:]
+    k1, k2 = kp[:, :, :h], kp[:, :, h:]
+    v1, v2 = vp[:, :, :h], vp[:, :, h:]
+
+    o1, lse1 = causal_half(q1, k1, v1, h, return_lse)
+    bq_r, bk_r = _half_blocks(h)
+    oa, lse_a = flash_fwd.fwd_padded(
+        q2, k1, v1, None, offs, scale=scale, causal=False,
+        block_q=bq_r, block_k=bk_r, kv_valid_len=h, return_lse=True,
+        num_heads_q=Hq, interpret=interpret, static_offsets=(0, 0),
+        softcap=softcap)
+    ob, lse_b = causal_half(q2, k2, v2, max(kv_valid_len - h, 1), True)
+
+    lse2 = jnp.logaddexp(lse_a, lse_b)
+    wa = jnp.exp(lse_a - lse2)[..., None]
+    wb = jnp.exp(lse_b - lse2)[..., None]
+    o2 = (oa.astype(jnp.float32) * wa
+          + ob.astype(jnp.float32) * wb).astype(qp.dtype)
+
+    o = jnp.concatenate([o1, o2], axis=2)
+    lse = jnp.concatenate([lse1, lse2], axis=2) if return_lse else None
+    return o, lse
+
+
 def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
                          kv_valid_len, interpret, *, return_lse, window=None,
                          static_offsets=None, seg_q=None, seg_kv=None,
@@ -345,6 +455,16 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
         bp = _pad_axis(_pad_axis(bias, 2, nqp if bias.shape[2] > 1 else 1), 3, nkp)
         if bp.shape[2] == 1:
             bp = jnp.broadcast_to(bp, (bp.shape[0], bp.shape[1], nqp, nkp))
+    if _can_decompose_causal(
+            causal=causal, window=window, bias=bias, seg=seg_q,
+            static_offsets=static_offsets, nqp=nqp, nkp=nkp,
+            kv_valid_len=kv_valid_len, D=dp):
+        o, lse = _fwd_causal_decomposed(
+            qp, kp, vp, scale=scale, kv_valid_len=kv_valid_len,
+            interpret=interpret, return_lse=return_lse, softcap=softcap)
+        o = o[:, :, :Nq, :D]
+        return o, (lse[:, :, :Nq] if lse is not None else None)
+
     sq_rep = skv_rep = seg_flags = None
     if seg_q is not None:
         sq_rep, skv_rep, seg_flags = _seg_tiles(seg_q, seg_kv, nqp, nkp,

@@ -165,55 +165,75 @@ def _bwd_fused_kernel(
         prec = (jax.lax.Precision.HIGHEST
                 if q2_ref.dtype == jnp.float32 else None)
         q2 = q2_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
         do = do_ref[0, 0]
-        # Both leading dots are independent — pre-issue for MXU/VPU overlap.
-        s2 = jax.lax.dot_general(
-            q2, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        if masked:
-            col_l = jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1)
-            dmat = col_l - jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            off = j * block_k + kv_off - (i * block_q + q_off)
-            mask = None
-
-            def _and(a, b):
-                return b if a is None else jnp.logical_and(a, b)
-
-            if causal:
-                mask = _and(mask, dmat <= -off)
-            if wl >= 0:
-                mask = _and(mask, dmat >= -wl - off)
-            if wr >= 0 and not causal:
-                mask = _and(mask, dmat <= wr - off)
-            if need_tail_mask:
-                mask = _and(mask, col_l < kv_valid_len - j * block_k)
-            s2 = jnp.where(mask, s2, mask_value)
-        # p = exp(S·scale − lse) computed in the exp2 domain (scale·log2e
-        # folded into q2 / lse2 by the host wrapper).
-        p = jnp.exp2(s2 - lse2_ref[0, 0, :, :1])
         mmd = do.dtype
-        # dV += P^T · dO   (reference kernel_fp16.cu:724)
-        dv_scr[...] += jax.lax.dot_general(
-            p.astype(mmd), do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        ds = p * (dp - delta_ref[0, 0, :, :1])
-        ds = ds.astype(mmd)
-        # dK += dS^T · Q  — q2 carries scale·log2e, so ×ln2 at store gives
-        # the symmetric ·scale (fixes reference quirk 1, kernel_fp16.cu:737)
-        dk_scr[...] += jax.lax.dot_general(
-            ds, q2, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        # dQ += dS · K  (race-free: sequential grid, one accumulator)
-        dq_acc[rows, :] += jax.lax.dot_general(
-            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        # KV-column sub-tiles: part kp+1's two leading dots (S, dP) are
+        # issued before part kp's VPU softmax/dS chain — the forward's
+        # fast_block MXU/VPU overlap pattern (141→164 TFLOP/s there).
+        # dV/dK rows are disjoint per part; dQ accumulates across parts.
+        kvs = _BWD_KV_SPLITS
+        if block_k % kvs or (block_k // kvs) % NUM_LANES:
+            kvs = 1
+        sub = block_k // kvs
+
+        def lead(kp):
+            cols = slice(kp * sub, (kp + 1) * sub)
+            kc = k_ref[0, 0, cols, :]
+            vc = v_ref[0, 0, cols, :]
+            s2 = jax.lax.dot_general(
+                q2, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dp = jax.lax.dot_general(
+                do, vc, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            return s2, dp
+
+        leads = [lead(kp) for kp in range(kvs)]
+        for kp in range(kvs):
+            s2, dp = leads[kp]
+            cols = slice(kp * sub, (kp + 1) * sub)
+            if masked:
+                col_l = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, sub), 1)
+                dmat = col_l - jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, sub), 0)
+                off = (j * block_k + kp * sub + kv_off
+                       - (i * block_q + q_off))
+                mask = None
+
+                def _and(a, b):
+                    return b if a is None else jnp.logical_and(a, b)
+
+                if causal:
+                    mask = _and(mask, dmat <= -off)
+                if wl >= 0:
+                    mask = _and(mask, dmat >= -wl - off)
+                if wr >= 0 and not causal:
+                    mask = _and(mask, dmat <= wr - off)
+                if need_tail_mask:
+                    mask = _and(mask,
+                                col_l < kv_valid_len - j * block_k - kp * sub)
+                s2 = jnp.where(mask, s2, mask_value)
+            # p = exp(S·scale − lse) computed in the exp2 domain (scale·log2e
+            # folded into q2 / lse2 by the host wrapper).
+            p = jnp.exp2(s2 - lse2_ref[0, 0, :, :1])
+            # dV += P^T · dO   (reference kernel_fp16.cu:724)
+            dv_scr[cols, :] += jax.lax.dot_general(
+                p.astype(mmd), do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            ds = p * (dp - delta_ref[0, 0, :, :1])
+            ds = ds.astype(mmd)
+            # dK += dS^T · Q  — q2 carries scale·log2e, so ×ln2 at store
+            # gives the symmetric ·scale (fixes reference quirk 1,
+            # kernel_fp16.cu:737)
+            dk_scr[cols, :] += jax.lax.dot_general(
+                ds, q2, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            # dQ += dS · K  (race-free: sequential grid, one accumulator)
+            dq_acc[rows, :] += jax.lax.dot_general(
+                ds, k_ref[0, 0, cols, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
 
     def _compute_tri():
         # Diagonal pair under the tri_edge gate (flat causal grid, square
@@ -222,22 +242,39 @@ def _bwd_fused_kernel(
         # so all 5 matmuls shrink to statically-narrower shapes (62.5% of
         # the square pair's MXU work at 4 chunks) — same design as the
         # forward's tri/resident paths; no predication inside the body.
+        # The two leading dots (S, dP) of the next chunks are pre-issued
+        # (sliding lookahead, same pattern as the resident kernels): chunk
+        # qp+1's MXU dots overlap chunk qp's VPU softmax/dS work. Live
+        # pending score tiles stay bounded at ~2·tri·block_k f32.
         prec = (jax.lax.Precision.HIGHEST
                 if q2_ref.dtype == jnp.float32 else None)
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         n_chunks = block_q // tri_sub
+
+        def lead(qp):
+            rsl = slice(qp * tri_sub, (qp + 1) * tri_sub)
+            w = (qp + 1) * tri_sub
+            s2 = jax.lax.dot_general(
+                q2_ref[0, 0, rsl, :], k[:w],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dp = jax.lax.dot_general(
+                do_ref[0, 0, rsl, :], v[:w],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            return s2, dp
+
+        la = _TRI_LOOKAHEAD
+        pending = {qp: lead(qp) for qp in range(min(la, n_chunks))}
         for qp in range(n_chunks):
+            if qp + la < n_chunks:
+                pending[qp + la] = lead(qp + la)
+            s2, dp = pending.pop(qp)
             rsl = slice(qp * tri_sub, (qp + 1) * tri_sub)
             w = (qp + 1) * tri_sub
             q2c = q2_ref[0, 0, rsl, :]
             doc = do_ref[0, 0, rsl, :]
-            s2 = jax.lax.dot_general(
-                q2c, k[:w], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            dp = jax.lax.dot_general(
-                doc, v[:w], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
             dmat = (jax.lax.broadcasted_iota(jnp.int32, (tri_sub, w), 1)
                     - jax.lax.broadcasted_iota(jnp.int32, (tri_sub, w), 0))
             s2 = jnp.where(dmat <= qp * tri_sub, s2, mask_value)
@@ -474,6 +511,12 @@ _RESIDENT_BWD_MAX_N = int(os.environ.get("FLASHATTN_TPU_RB_MAXN", 6144))
 # Pair tile / diagonal-chunk width / pair-pipelining depth — all
 # env-overridable for on-chip tuning sweeps (spot_bwd_tune.py).
 _RB_SUB = int(os.environ.get("FLASHATTN_TPU_RB_SUB", 1024))
+# Sliding pre-issue depth for the flat diag pairs' chunked dots (see
+# _compute_tri) — env-overridable for on-chip tuning.
+_TRI_LOOKAHEAD = max(1, int(os.environ.get("FLASHATTN_TPU_TRI_LA", 2)))
+# KV-column sub-tiles per full pair in the flat fused bwd (see _compute's
+# lead pre-issue) — env-overridable for on-chip tuning.
+_BWD_KV_SPLITS = max(1, int(os.environ.get("FLASHATTN_TPU_BWD_KVS", 1)))
 _RB_TRI = os.environ.get("FLASHATTN_TPU_RB_TRI")
 _RB_LOOKAHEAD = int(os.environ.get("FLASHATTN_TPU_RB_LOOKAHEAD", 1))
 

@@ -25,6 +25,7 @@ def _assert_trees_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     params = init_transformer(jax.random.PRNGKey(0), CFG)
     state = {"params": params, "opt": adamw_init(params),

@@ -127,6 +127,7 @@ def test_bwd_resident_causal_route_and_tail(monkeypatch):
     jax.clear_caches()  # drop the resident-routed traces
 
 
+@pytest.mark.slow
 def test_bwd_resident_geometry_divisor_tiles(monkeypatch):
     """N=2560: _rb_geometry shrinks the square pair tile to the largest
     lane-aligned divisor (640, with a 128-row diagonal chunk) so the
@@ -167,6 +168,7 @@ def test_bwd_resident_geometry_divisor_tiles(monkeypatch):
     jax.clear_caches()
 
 
+@pytest.mark.slow
 def test_bwd_resident_banded_windows(monkeypatch):
     """The resident fused backward also serves static sliding-window bands
     (causal+window and pure local window) — grads must match the oracle."""

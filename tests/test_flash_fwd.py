@@ -206,6 +206,7 @@ def test_fwd_resident_causal_padded_tail():
     got2 = flash_attention(q2, k2, v2, causal=True)
     assert_close(got2, want2, FWD_TOL[jnp.float32.dtype], "tail-cross")
 
+@pytest.mark.slow
 def test_fwd_resident_geometry_divisor_tiles():
     """N=2560 is not a multiple of the preferred 2048-wide kv tile;
     _rc_geometry falls back to the largest lane-aligned divisor (1280)
@@ -267,3 +268,68 @@ def test_fwd_flat_tri_diagonal_blocks():
         block_sizes=BlockSizes(512, 512, 512, 512, 512, 512),
     )
     assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
+class TestCausalDecomposition:
+    """Hierarchical causal forward (flash._fwd_causal_decomposed): for N past
+    the resident-kernel ceiling, the band splits into diag halves + an
+    unmasked rectangle merged through the LSE algebra. Tests shrink the
+    ceiling so the route triggers at interpreter-friendly sizes."""
+
+    def _force(self, monkeypatch, maxn):
+        from flashattn_tpu.ops import flash_fwd
+
+        monkeypatch.setattr(flash_fwd, "_RESIDENT_CAUSAL_MAX_N", maxn)
+
+    def test_eligibility_gate(self, monkeypatch):
+        from flashattn_tpu.ops import flash
+
+        self._force(monkeypatch, 512)
+        base = dict(causal=True, window=None, bias=None, seg=None,
+                    static_offsets=(0, 0), nqp=1024, nkp=1024,
+                    kv_valid_len=1024, D=64)
+        assert flash._can_decompose_causal(**base)
+        # recursion: halves themselves decomposable
+        assert flash._can_decompose_causal(
+            **{**base, "nqp": 2048, "nkp": 2048, "kv_valid_len": 2048})
+        assert not flash._can_decompose_causal(**{**base, "causal": False})
+        assert not flash._can_decompose_causal(
+            **{**base, "window": (128, 0)})
+        assert not flash._can_decompose_causal(
+            **{**base, "static_offsets": None})
+        assert not flash._can_decompose_causal(
+            **{**base, "static_offsets": (0, 7)})
+        # kv tail must leave the bottom K half intact
+        assert not flash._can_decompose_causal(
+            **{**base, "kv_valid_len": 512})
+        # below the ceiling the resident kernel serves directly
+        assert not flash._can_decompose_causal(
+            **{**base, "nqp": 512, "nkp": 512, "kv_valid_len": 512})
+
+    def test_matches_oracle_with_lse(self, monkeypatch):
+        self._force(monkeypatch, 512)
+        q, k, v = make_qkv(jax.random.PRNGKey(3), 1, 2, 1024, 64)
+        want, lse_want = attention_reference_with_lse(q, k, v, causal=True)
+        got, lse = flash_attention_with_lse(q, k, v, causal=True)
+        assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+        assert_close(lse, lse_want, FWD_TOL[jnp.float32.dtype], "lse")
+
+    def test_unaligned_tail_and_grads(self, monkeypatch):
+        from flashattn_tpu.utils.testing import BWD_TOL, grad_gate
+
+        self._force(monkeypatch, 512)
+        # N=900 pads to 1024; the KV tail mask lands in the top diag half.
+        q, k, v = make_qkv(jax.random.PRNGKey(4), 1, 2, 900, 64)
+        want = attention_reference(q, k, v, causal=True)
+        got = flash_attention(q, k, v, causal=True)
+        assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+        def loss(fn):
+            return lambda a, b, c: (
+                fn(a, b, c, causal=True).astype(jnp.float32) ** 2).sum()
+
+        grads = jax.grad(loss(flash_attention), (0, 1, 2))(q, k, v)
+        grads_want = jax.grad(loss(attention_reference), (0, 1, 2))(q, k, v)
+        ok, why, _, _ = grad_gate(grads, grads_want,
+                                  BWD_TOL[jnp.float32.dtype])
+        assert ok, why

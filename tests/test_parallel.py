@@ -123,6 +123,7 @@ def test_ring_segment_ids(causal):
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
+@pytest.mark.slow
 def test_ring_attention_gqa_rotates_hkv():
     """GQA ring: KV rotate at Hkv heads (ICI traffic Hkv/Hq of naive —
     VERDICT r1 weak #6); numerics must still match the GQA oracle, fwd and
@@ -177,6 +178,7 @@ def test_ulysses_grads():
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
+@pytest.mark.slow
 def test_ulysses_segment_ids():
     """Packed sequences under Ulysses SP: local id chunks are all-gathered
     into the global [B, N] view the post-all-to-all kernel operates in."""

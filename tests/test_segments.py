@@ -46,6 +46,7 @@ def test_segments_fwd_matches_oracle(shape, causal):
     assert_close(got, want, FWD_TOL[jnp.float32.dtype])
 
 
+@pytest.mark.slow
 def test_segments_cross_attention_tuple():
     B, H, Nq, D, Nk = 2, 2, 130, 64, 200
     q, k, v = make_qkv(jax.random.PRNGKey(2), B, H, Nq, D, Nk=Nk)

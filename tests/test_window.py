@@ -135,6 +135,7 @@ def test_transformer_sliding_window():
     assert float(jnp.max(jnp.abs(logits - logits_full))) > 1e-3
 
 
+@pytest.mark.slow
 def test_ring_attention_window():
     """Sequence-parallel SWA: ring attention with a window must match the
     single-device oracle (global absolute-position masking across chunks)."""

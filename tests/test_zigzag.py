@@ -61,6 +61,7 @@ def test_zigzag_gqa_bf16():
     assert_close(got, want, FWD_TOL[jnp.bfloat16.dtype])
 
 
+@pytest.mark.slow
 def test_zigzag_grads():
     mesh = _mesh(4)
     n = 4
