@@ -255,6 +255,71 @@ MATRICES = {
         ("trila1-fwdbwd4k", "fwd_bwd", {"FLASHATTN_TPU_TRI_LA": 1}),
         ("decomp12k-fwd", "fwd", {}, 12288),
     ],
+    # round 3 (cont.): single-pair whole-sequence flat fused bwd at N=4096
+    # — blocks 4096² make the causal pair table one triangular pair
+    # (16×256-row chunks, 53% of square MXU work vs 3 pairs at 2048²).
+    "bwd1p": [
+        ("flat-bq4096-tri256", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                           "FLASHATTN_TPU_BQF": 4096,
+                                           "FLASHATTN_TPU_BKF": 4096,
+                                           "FLASHATTN_TPU_TRIF": 256}),
+        ("flat-bq4096-tri512", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                           "FLASHATTN_TPU_BQF": 4096,
+                                           "FLASHATTN_TPU_BKF": 4096,
+                                           "FLASHATTN_TPU_TRIF": 512}),
+        ("flat-bq4096-tri256-la3", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                               "FLASHATTN_TPU_BQF": 4096,
+                                               "FLASHATTN_TPU_BKF": 4096,
+                                               "FLASHATTN_TPU_TRIF": 256,
+                                               "FLASHATTN_TPU_TRI_LA": 3}),
+        ("flat-bq4096-tri128", "fwd_bwd", {"FLASHATTN_TPU_RB_MAXN": 0,
+                                           "FLASHATTN_TPU_BQF": 4096,
+                                           "FLASHATTN_TPU_BKF": 4096,
+                                           "FLASHATTN_TPU_TRIF": 128}),
+    ],
+    # round 3 (cont. 2): corner-split tri chunks in the flat fused bwd
+    # (mask only the trailing tri×tri corner) + macro-resident causal fwd
+    # past the resident ceiling (one resident launch per 1024-row slab).
+    "r3d": [
+        ("corner-fwdbwd4k", "fwd_bwd", {}),
+        ("corner-fwdbwd4k-la3", "fwd_bwd", {"FLASHATTN_TPU_TRI_LA": 3}),
+        ("macro8k-check", "check", {}, 8192),
+        ("macro8k-fwd", "fwd", {}, 8192),
+        ("macro8k-fwdbwd", "fwd_bwd", {}, 8192),
+        ("macro12k-fwd", "fwd", {}, 12288),
+    ],
+    # round 3 (cont. 3): fused-bwd kv sub-splits — full pairs at kvs=1
+    # have no intra-pair MXU/VPU overlap (one lead per pair); probe whether
+    # 2|4 sub-tiles lift the 153 TF noncausal / 135 TF causal raw rates.
+    "bwdkvs": [
+        ("kvs2-causal", "fwd_bwd", {"FLASHATTN_TPU_BWD_KVS": 2}),
+        ("kvs2-la3-causal", "fwd_bwd", {"FLASHATTN_TPU_BWD_KVS": 2,
+                                        "FLASHATTN_TPU_TRI_LA": 3}),
+        ("kvs2-noncausal", "fwd_bwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                                       "FLASHATTN_TPU_BWD_KVS": 2}),
+        ("kvs4-noncausal", "fwd_bwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                                       "FLASHATTN_TPU_BWD_KVS": 4}),
+    ],
+    # round 3 (cont. 4): macro-resident vs whole-sequence resident below
+    # the ceiling — 8192 measured 160.5 (vs 132 flat), above even the
+    # N=4096 resident's 149; does macro win everywhere?
+    "macroN": [
+        ("macro6k-fwd", "fwd", {"FLASHATTN_TPU_RC_MAXN": 0}, 6144),
+        ("macro5k-fwd", "fwd", {"FLASHATTN_TPU_RC_MAXN": 0}, 5120),
+        ("macro4k-fwd", "fwd", {"FLASHATTN_TPU_RC_MAXN": 0}, 4096),
+        ("macro4k-fwdbwd", "fwd_bwd", {"FLASHATTN_TPU_RC_MAXN": 0}),
+        ("macro4k-m2048", "fwd", {"FLASHATTN_TPU_RC_MAXN": 0,
+                                  "FLASHATTN_TPU_MACRO_ROWS": 2048}, 4096),
+        ("macro8k-m512", "fwd", {"FLASHATTN_TPU_MACRO_ROWS": 512}, 8192),
+    ],
+    # round 3 (cont. 5): recursive triangle decomposition in the fused-bwd
+    # diag pairs (diag(n) → diag(n/2) + full(n/2)² + diag(n/2)).
+    "tri2": [
+        ("rectri-fwdbwd4k", "fwd_bwd", {}),
+        ("rectri-fwdbwd4k-la3", "fwd_bwd", {"FLASHATTN_TPU_TRI_LA": 3}),
+        ("rectri-fwdbwd4k-la1", "fwd_bwd", {"FLASHATTN_TPU_TRI_LA": 1}),
+        ("rectri-fwdbwd8k", "fwd_bwd", {}, 8192),
+    ],
     # D=160 mini-sweep (NOTES promise): partial-lane tile behavior
     "d160": [
         ("d160-fwd", "fwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0}, 4096, 160),

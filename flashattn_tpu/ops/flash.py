@@ -455,6 +455,16 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
         bp = _pad_axis(_pad_axis(bias, 2, nqp if bias.shape[2] > 1 else 1), 3, nkp)
         if bp.shape[2] == 1:
             bp = jnp.broadcast_to(bp, (bp.shape[0], bp.shape[1], nqp, nkp))
+    if flash_fwd.use_macro_resident(
+            causal=causal, window=window, need_tail_mask=Nk != nkp,
+            bias=bias, k_scale=None, v_scale=None,
+            static_offsets=static_offsets, Nqp=nqp, Nkp=nkp, seg=seg_q):
+        o, lse = flash_fwd.fwd_causal_macro_padded(
+            qp, kp, vp, scale=scale, kv_valid_len=kv_valid_len,
+            return_lse=return_lse, num_heads_q=Hq, interpret=interpret,
+            softcap=softcap)
+        o = o[:, :, :Nq, :D]
+        return o, (lse[:, :, :Nq] if lse is not None else None)
     if _can_decompose_causal(
             causal=causal, window=window, bias=bias, seg=seg_q,
             static_offsets=static_offsets, nqp=nqp, nkp=nkp,

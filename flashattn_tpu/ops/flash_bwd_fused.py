@@ -238,59 +238,73 @@ def _bwd_fused_kernel(
     def _compute_tri():
         # Diagonal pair under the tri_edge gate (flat causal grid, square
         # tiles, equal offsets → every non-full live pair has row0 == col0).
-        # Chunk the q rows: chunk qp's live columns are [0, (qp+1)·tri_sub),
-        # so all 5 matmuls shrink to statically-narrower shapes (62.5% of
-        # the square pair's MXU work at 4 chunks) — same design as the
-        # forward's tri/resident paths; no predication inside the body.
-        # The two leading dots (S, dP) of the next chunks are pre-issued
-        # (sliding lookahead, same pattern as the resident kernels): chunk
-        # qp+1's MXU dots overlap chunk qp's VPU softmax/dS work. Live
-        # pending score tiles stay bounded at ~2·tri·block_k f32.
+        # Recursive triangle decomposition: diag(n) → diag(n/2) +
+        # full(n/2 × n/2) + diag(n/2), base diag = masked tri_sub² tile.
+        # Most of the area lands in LARGE unmasked square blocks (one
+        # bq/2², two bq/4², …) that run the same 5-dot group as a full
+        # pair — fat MXU shapes, no iota/select — and total issued work is
+        # (n/tri)·tri²/2·3... = n²/2 + (n/tri)·tri²/2, i.e. 53.1% of the
+        # square at bq=2048/tri=256 (vs 56.3% for 256-row prefix strips,
+        # whose 256-row trailing dots ran at ~123 vs 153 TFLOP/s).
+        # Block leads (S, dP) are pre-issued _TRI_LOOKAHEAD blocks ahead so
+        # the next block's MXU dots overlap this block's VPU softmax/dS.
         prec = (jax.lax.Precision.HIGHEST
                 if q2_ref.dtype == jnp.float32 else None)
         k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        n_chunks = block_q // tri_sub
 
-        def lead(qp):
-            rsl = slice(qp * tri_sub, (qp + 1) * tri_sub)
-            w = (qp + 1) * tri_sub
+        blocks = []   # (r0, c0, sz, masked) local to the pair
+
+        def rec(r0, c0, sz):
+            if sz <= tri_sub:
+                blocks.append((r0, c0, sz, True))
+            else:
+                h = sz // 2
+                rec(r0, c0, h)
+                blocks.append((r0 + h, c0, h, False))
+                rec(r0 + h, c0 + h, h)
+
+        rec(0, 0, block_q)
+
+        def lead(bl):
+            r0, c0, sz, _ = bl
             s2 = jax.lax.dot_general(
-                q2_ref[0, 0, rsl, :], k[:w],
+                q2_ref[0, 0, r0:r0 + sz, :], k[c0:c0 + sz],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             dp = jax.lax.dot_general(
-                do_ref[0, 0, rsl, :], v[:w],
+                do_ref[0, 0, r0:r0 + sz, :], v_ref[0, 0, c0:c0 + sz, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             return s2, dp
 
         la = _TRI_LOOKAHEAD
-        pending = {qp: lead(qp) for qp in range(min(la, n_chunks))}
-        for qp in range(n_chunks):
-            if qp + la < n_chunks:
-                pending[qp + la] = lead(qp + la)
-            s2, dp = pending.pop(qp)
-            rsl = slice(qp * tri_sub, (qp + 1) * tri_sub)
-            w = (qp + 1) * tri_sub
-            q2c = q2_ref[0, 0, rsl, :]
+        pending = {b: lead(blocks[b]) for b in range(min(la, len(blocks)))}
+        for b, bl in enumerate(blocks):
+            if b + la < len(blocks):
+                pending[b + la] = lead(blocks[b + la])
+            s2, dp = pending.pop(b)
+            r0, c0, sz, msk = bl
+            rsl = slice(r0, r0 + sz)
             doc = do_ref[0, 0, rsl, :]
-            dmat = (jax.lax.broadcasted_iota(jnp.int32, (tri_sub, w), 1)
-                    - jax.lax.broadcasted_iota(jnp.int32, (tri_sub, w), 0))
-            s2 = jnp.where(dmat <= qp * tri_sub, s2, mask_value)
-            p = jnp.exp2(s2 - lse2_ref[0, 0, rsl, :1])
             mmd = doc.dtype
-            dv_scr[:w, :] += jax.lax.dot_general(
+            if msk:  # base tile sits on the diagonal (r0 == c0)
+                dmat = (jax.lax.broadcasted_iota(jnp.int32, (sz, sz), 1)
+                        - jax.lax.broadcasted_iota(jnp.int32, (sz, sz), 0))
+                s2 = jnp.where(dmat <= 0, s2, mask_value)
+            p = jnp.exp2(s2 - lse2_ref[0, 0, rsl, :1])
+            dv_scr[c0:c0 + sz, :] += jax.lax.dot_general(
                 p.astype(mmd), doc,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
             ds = (p * (dp - delta_ref[0, 0, rsl, :1])).astype(mmd)
-            dk_scr[:w, :] += jax.lax.dot_general(
-                ds, q2c, dimension_numbers=(((0,), (0,)), ((), ())),
+            dk_scr[c0:c0 + sz, :] += jax.lax.dot_general(
+                ds, q2_ref[0, 0, rsl, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
-            dq_acc[pl.ds(pl.multiple_of(i * block_q, block_q) + qp * tri_sub,
-                         tri_sub), :] += jax.lax.dot_general(
-                ds, k[:w], dimension_numbers=(((1,), (0,)), ((), ())),
+            dq_acc[pl.ds(pl.multiple_of(i * block_q, block_q) + r0,
+                         sz), :] += jax.lax.dot_general(
+                ds, k[c0:c0 + sz, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
 
     if masking:

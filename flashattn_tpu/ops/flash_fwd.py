@@ -531,9 +531,17 @@ def _fwd_causal_resident_kernel(
     window: tuple[int, int] | None = None,
     lookahead: int | None = None,
     softcap: float | None = None,
+    n_rows: int | None = None,
+    row_off: int = 0,
 ):
     """Whole-sequence static-band forward (causal / sliding window / local
     window), one grid step per (batch, head).
+
+    With ``n_rows``/``row_off`` the kernel serves one macro row-chunk of a
+    longer sequence (the macro-resident launcher below): ``q_ref`` holds
+    ``n_rows`` rows whose global positions start at ``row_off``, while
+    ``k_ref``/``v_ref`` hold the ``n`` KV rows visible to this chunk. The
+    band geometry is computed in global coordinates; outputs are local.
 
     The flat-grid causal kernel (above) pays a pipeline bubble per q-row
     transition (init + store + un-overlapped DMA): measured ~1.5 µs × Tq rows
@@ -550,6 +558,8 @@ def _fwd_causal_resident_kernel(
     prec = (jax.lax.Precision.HIGHEST
             if q_ref.dtype == jnp.float32 else None)
     mm_dtype = q_ref.dtype
+    if n_rows is None:
+        n_rows = n
     v = v_ref[0, 0]
     if aug_width:
         v_full = jnp.concatenate(
@@ -557,7 +567,7 @@ def _fwd_causal_resident_kernel(
     else:
         v_full = v
 
-    n_chains = n // sub_q
+    n_chains = n_rows // sub_q
 
     wl, wr = window if window is not None else (-1, -1)
 
@@ -573,7 +583,8 @@ def _fwd_causal_resident_kernel(
         Rows with every tile dead keep (m=-inf, l=0) and the l==0 epilogue
         guard stores zeros (matches the flat grid's dead-tile convention).
         """
-        rf, rl = qp * sub_q, qp * sub_q + sub_q - 1
+        rf = row_off + qp * sub_q
+        rl = rf + sub_q - 1
         tiles = []
         for kp in range(n // sub_k):
             c0 = kp * sub_k
@@ -757,6 +768,143 @@ def _rc_lookahead(Nqp, sub_q, sub_k):
     if Nqp <= 4096:
         return None
     return max(2, _RC_PENDING_BUDGET // (sub_q * sub_k * 4))
+
+
+# Macro-resident path (causal N past _RESIDENT_CAUSAL_MAX_N): row-chunk the
+# sequence into static macro slabs, one resident-kernel launch per slab.
+# Each launch keeps the slab's visible KV prefix VMEM-resident and unrolls
+# the slab's band statically (same kernel as the resident route, with a
+# static row offset), so Mosaic's non-recycling score-tile stack is bounded
+# by macro·N_visible instead of N² — N=8192+ compiles where the
+# whole-sequence resident kernel cannot. Unlike the hierarchical
+# decomposition (flash._fwd_causal_decomposed: measured 126 TF at N=8192 —
+# merge + slice copies cost ~0.6 ms), every output row is computed exactly
+# once: no partial merge, no Q/K/V slice copies (static BlockSpec offsets),
+# only one output concatenate.
+_MACRO_ROWS_ENV = os.environ.get("FLASHATTN_TPU_MACRO_ROWS")
+# Per-slab retained f32 score bound (macro · N_kv · 4B): 32 MB measured
+# safe alongside the double-buffered KV prefix blocks.
+_MACRO_SCORE_BUDGET = 32 * 1024 * 1024
+
+
+def _macro_rows(Nqp, Nkp):
+    """Largest macro slab height (multiple of 512 dividing Nqp) whose
+    retained score tiles fit the budget; 0 if none."""
+    if _MACRO_ROWS_ENV is not None:
+        m = int(_MACRO_ROWS_ENV)
+        return m if m and Nqp % m == 0 else 0
+    m = 1024
+    while m >= 512 and (Nqp % m or m * Nkp * 4 > _MACRO_SCORE_BUDGET):
+        m -= 512
+    return max(m, 0)
+
+
+def use_macro_resident(*, causal, window, need_tail_mask, bias, k_scale,
+                       v_scale, static_offsets, Nqp, Nkp, seg=None):
+    del need_tail_mask  # handled by band_chunk's per-call kv bound
+    return (
+        causal and window is None
+        and bias is None and k_scale is None and v_scale is None
+        and seg is None
+        and static_offsets is not None
+        and static_offsets[0] == static_offsets[1]
+        and Nqp == Nkp and Nqp > _RESIDENT_CAUSAL_MAX_N
+        # ≥2 slabs: one slab would be the resident kernel past its ceiling
+        and 0 < _macro_rows(Nqp, Nkp) < Nqp
+        and os.environ.get("FLASHATTN_TPU_MACRO", "1") == "1"
+    )
+
+
+def fwd_causal_macro_padded(
+    q, k, v, *, scale, kv_valid_len, return_lse, num_heads_q,
+    interpret=None, softcap=None,
+):
+    """Causal forward past the resident ceiling: one resident-kernel launch
+    per macro row slab, visible-KV-prefix blocks, static band per launch.
+
+    Role-parity: the reference sweeps causal to N=7168 through one kernel
+    (bench_with_sdpa.py:201-224); here long context is a routing tier that
+    keeps every slab on resident-kernel rates.
+    """
+    if interpret is None:
+        interpret = platform.pallas_interpret_default()
+    if softcap is not None:
+        softcap = (softcap, scale)
+    else:
+        q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    B, Hq, Nqp, D = q.shape
+    _, Hkv, Nkp, _ = k.shape
+    q_hd_ratio = Hq // Hkv
+    aug_width = (128 - D % 128) if D % 128 != 0 else 0
+    macro = _macro_rows(Nqp, Nkp)
+    assert macro > 0 and Nqp == Nkp
+
+    sub_q = 256 if macro % 256 == 0 else NUM_LANES
+    o_parts, lse_parts = [], []
+    for p in range(Nqp // macro):
+        row_off = p * macro
+        vis = min(Nkp, row_off + macro)
+        sub_k = vis
+        while sub_k > NUM_LANES and (vis % sub_k or sub_k % NUM_LANES
+                                     or sub_k > 2048):
+            sub_k -= NUM_LANES
+        kernel = functools.partial(
+            _fwd_causal_resident_kernel,
+            n=vis, sub_q=sub_q, sub_k=sub_k, head_dim=D,
+            aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE,
+            kv_valid_len=min(kv_valid_len, vis), causal=True, window=None,
+            lookahead=None, softcap=softcap,
+            n_rows=macro, row_off=row_off)
+        out_shapes = [jax.ShapeDtypeStruct((B, Hq, macro, D), q.dtype)]
+        out_specs = [pl.BlockSpec((1, 1, macro, D), lambda b, h: (b, h, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        if return_lse:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((B, Hq, macro, NUM_LANES), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((1, 1, macro, NUM_LANES),
+                             lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM))
+
+        def rc_entry(qr, kr, vr, *outs, _kernel=kernel):
+            _kernel(qr, kr, vr, outs[0], outs[1] if return_lse else None)
+
+        live_cells = macro * row_off + macro * macro // 2
+        cost = pl.CostEstimate(
+            flops=int(4 * D * live_cells * B * Hq),
+            bytes_accessed=int(
+                (macro * D * 2 + vis * D * 2) * B * Hq * q.dtype.itemsize),
+            transcendentals=int(B * Hq * live_cells),
+        )
+        outs = pl.pallas_call(
+            rc_entry,
+            grid=(B, Hq),
+            in_specs=[
+                pl.BlockSpec((1, 1, macro, D),
+                             lambda b, h, _p=p: (b, h, _p, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, vis, D),
+                             lambda b, h: (b, h // q_hd_ratio, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, vis, D),
+                             lambda b, h: (b, h // q_hd_ratio, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+        o_parts.append(outs[0])
+        if return_lse:
+            lse_parts.append(outs[1][..., 0])
+    o = jnp.concatenate(o_parts, axis=2)
+    lse = jnp.concatenate(lse_parts, axis=2) if return_lse else None
+    return o, lse
 
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,

@@ -38,6 +38,7 @@ def test_bwd_matches_oracle(shape, causal):
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
+@pytest.mark.slow
 def test_bwd_bias_grad():
     q, k, v = make_qkv(jax.random.PRNGKey(1), 2, 2, 100, 32, Nk=90)
     for bshape in [(2, 2, 100, 90), (1, 2, 100, 90), (1, 1, 100, 90)]:
@@ -87,6 +88,7 @@ def test_bwd_adversarial_reference_shape():
         assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
 
 
+@pytest.mark.slow
 def test_bwd_resident_causal_route_and_tail(monkeypatch):
     """With the resident route enabled (RB_MAXN — default-off since r3: the
     wide-tile flat fused bwd measured faster at every N), square causal

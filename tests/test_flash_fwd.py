@@ -227,6 +227,7 @@ def test_fwd_resident_geometry_divisor_tiles():
     assert_close(got, want, FWD_TOL[jnp.float32.dtype], "resident-2560")
 
 
+@pytest.mark.slow
 def test_fwd_resident_chain_granular_padding():
     """Resident-eligible unaligned shapes pad to 512-row chains, not the
     flat-grid block: N=2561 used to pad (3072, 4096) with 1024/2048 blocks
@@ -314,6 +315,7 @@ class TestCausalDecomposition:
         assert_close(got, want, FWD_TOL[jnp.float32.dtype])
         assert_close(lse, lse_want, FWD_TOL[jnp.float32.dtype], "lse")
 
+    @pytest.mark.slow
     def test_unaligned_tail_and_grads(self, monkeypatch):
         from flashattn_tpu.utils.testing import BWD_TOL, grad_gate
 
@@ -330,6 +332,77 @@ class TestCausalDecomposition:
 
         grads = jax.grad(loss(flash_attention), (0, 1, 2))(q, k, v)
         grads_want = jax.grad(loss(attention_reference), (0, 1, 2))(q, k, v)
+        ok, why, _, _ = grad_gate(grads, grads_want,
+                                  BWD_TOL[jnp.float32.dtype])
+        assert ok, why
+
+
+class TestMacroResident:
+    """Macro-resident causal forward (flash_fwd.fwd_causal_macro_padded):
+    for N past the resident ceiling, one resident-kernel launch per macro
+    row slab with a static row offset and a visible-KV-prefix block — every
+    row computed exactly once (no LSE merge). Tests shrink the ceiling and
+    the slab height so the route triggers at interpreter-friendly sizes."""
+
+    def _force(self, monkeypatch, maxn, macro):
+        from flashattn_tpu.ops import flash_fwd
+
+        monkeypatch.setattr(flash_fwd, "_RESIDENT_CAUSAL_MAX_N", maxn)
+        monkeypatch.setattr(flash_fwd, "_MACRO_ROWS_ENV", str(macro))
+
+    def test_eligibility_gate(self, monkeypatch):
+        from flashattn_tpu.ops import flash_fwd
+
+        self._force(monkeypatch, 512, 512)
+        base = dict(causal=True, window=None, need_tail_mask=False,
+                    bias=None, k_scale=None, v_scale=None,
+                    static_offsets=(0, 0), Nqp=2048, Nkp=2048)
+        assert flash_fwd.use_macro_resident(**base)
+        assert not flash_fwd.use_macro_resident(**{**base, "causal": False})
+        assert not flash_fwd.use_macro_resident(
+            **{**base, "window": (128, 0)})
+        assert not flash_fwd.use_macro_resident(
+            **{**base, "static_offsets": (0, 7)})
+        assert not flash_fwd.use_macro_resident(**{**base, "Nkp": 1024})
+        # below the ceiling the whole-sequence resident kernel serves
+        assert not flash_fwd.use_macro_resident(
+            **{**base, "Nqp": 512, "Nkp": 512})
+        # one slab would be the resident kernel past its ceiling
+        monkeypatch.setattr(flash_fwd, "_MACRO_ROWS_ENV", "2048")
+        assert not flash_fwd.use_macro_resident(**base)
+
+    def test_matches_oracle_with_lse(self, monkeypatch):
+        self._force(monkeypatch, 256, 256)
+        q, k, v = make_qkv(jax.random.PRNGKey(5), 1, 2, 1024, 64)
+        want, lse_want = attention_reference_with_lse(q, k, v, causal=True)
+        got, lse = flash_attention_with_lse(q, k, v, causal=True)
+        assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+        assert_close(lse, lse_want, FWD_TOL[jnp.float32.dtype], "lse")
+
+    def test_unaligned_tail_gqa_and_grads(self, monkeypatch):
+        from flashattn_tpu.utils.testing import BWD_TOL, grad_gate
+
+        self._force(monkeypatch, 256, 256)
+        # N=900 pads to 1024; the KV tail mask lands in the last slab, and
+        # GQA exercises the kv head-ratio index map per slab.
+        q, k, v = make_qkv(jax.random.PRNGKey(6), 1, 4, 900, 64)
+        k, v = k[:, :2], v[:, :2]
+        ke, ve = (jnp.repeat(x, 2, axis=1) for x in (k, v))
+        want = attention_reference(q, ke, ve, causal=True)
+        got = flash_attention(q, k, v, causal=True)
+        assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+        def loss(fn):
+            def f(a, b, c):
+                return (fn(a, b, c, causal=True).astype(jnp.float32) ** 2
+                        ).sum()
+            return f
+
+        grads = jax.grad(loss(flash_attention), (0, 1, 2))(q, k, v)
+        gw = jax.grad(loss(attention_reference), (0, 1, 2))(q, ke, ve)
+        grads_want = (gw[0],
+                      gw[1].reshape(1, 2, 2, 900, 64).sum(axis=2),
+                      gw[2].reshape(1, 2, 2, 900, 64).sum(axis=2))
         ok, why, _, _ = grad_gate(grads, grads_want,
                                   BWD_TOL[jnp.float32.dtype])
         assert ok, why

@@ -32,6 +32,7 @@ def test_matches_flax_dot_product_attention():
     assert float(jnp.max(jnp.abs(ours - want))) < 2e-5
 
 
+@pytest.mark.slow
 def test_bool_mask_and_bias():
     q, k, v = _qkv(jax.random.PRNGKey(1), (1, 128, 2, 32))
     mask = jax.random.bernoulli(
@@ -70,6 +71,7 @@ def test_dropout_rejected():
     assert out.shape == q.shape
 
 
+@pytest.mark.slow
 def test_mhdpa_module_hook():
     """Full module: swapping attention_fn changes nothing numerically."""
     q = jax.random.normal(jax.random.PRNGKey(7), (2, 128, 64))

@@ -116,6 +116,7 @@ def test_packed_batch_grads_flow(lm_params):
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_decode_matches_forward(lm_params):
     """KV-cache decode must reproduce teacher-forced logits exactly."""
     toks = jax.random.randint(jax.random.PRNGKey(2), (2, 32), 0, 128)

@@ -72,6 +72,7 @@ def test_segments_gqa_bf16():
 
 
 @pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.slow
 def test_segments_grads_match_oracle(causal):
     B, H, N, D = 1, 2, 192, 64
     q, k, v = make_qkv(jax.random.PRNGKey(8), B, H, N, D)
@@ -111,6 +112,7 @@ def test_packing_equivalence():
     assert_close(packed, want, FWD_TOL[jnp.float32.dtype])
 
 
+@pytest.mark.slow
 def test_dead_rows_zero_output_and_grads():
     """q rows whose segment matches no kv token: zeros out, zero grads in."""
     B, H, N, D = 1, 2, 128, 64

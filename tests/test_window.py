@@ -99,6 +99,7 @@ def test_window_bounded_grid_grads():
             assert float(jnp.max(jnp.abs(a - b))) < 5e-4, (window, causal)
 
 
+@pytest.mark.slow
 def test_transformer_sliding_window():
     """LM with sliding_window: teacher-forced logits must equal a model with
     an equivalent additive band mask; decode must match teacher forcing."""
