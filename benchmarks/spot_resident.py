@@ -19,7 +19,7 @@ from flashattn_tpu.utils.platform import enable_compilation_cache
 
 from flashattn_tpu.utils.tpu_lock import acquire_tpu_lock
 
-acquire_tpu_lock()  # one TPU process at a time (honest timing)
+acquire_tpu_lock(on_timeout="abort")  # serialize; yield if the chip is busy
 enable_compilation_cache()
 
 from flashattn_tpu import flash_attention

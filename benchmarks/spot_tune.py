@@ -28,7 +28,7 @@ def child(mode, B, H, N, D):
     from flashattn_tpu.utils.platform import enable_compilation_cache
     from flashattn_tpu.utils.tpu_lock import acquire_tpu_lock
 
-    acquire_tpu_lock()
+    acquire_tpu_lock(on_timeout="abort")
     enable_compilation_cache()
 
     import jax
