@@ -236,11 +236,14 @@ def main():
         if args.mode == "fwd":
             # reference tops out at 7168; 8192 extends the long-context story
             n_sweep += [6144, 7168, 8192]
-        d_sweep = [64, 80, 128, 160, 256]
+        # low end 16..48: the SD1.5 cross-attention head class the
+        # reference's D-scan explicitly covers (bench_with_sdpa.py:259-283
+        # scans 16..240 step 16)
+        d_sweep = [16, 32, 48, 64, 80, 128, 160, 256]
     if args.unaligned:
         # precision_test.py-class shapes: N 1 off a tile, odd D
         n_sweep = [n + 1 for n in n_sweep]
-        d_sweep = [d - 17 for d in d_sweep]
+        d_sweep = [d - 17 for d in d_sweep if d > 32]
 
     window = (args.window - 1, 0) if args.window else None
     if window is not None:

@@ -459,10 +459,10 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
             causal=causal, window=window, need_tail_mask=Nk != nkp,
             bias=bias, k_scale=None, v_scale=None,
             static_offsets=static_offsets, Nqp=nqp, Nkp=nkp, seg=seg_q):
-        o, lse = flash_fwd.fwd_causal_macro_padded(
+        o, lse = flash_fwd.fwd_macro_padded(
             qp, kp, vp, scale=scale, kv_valid_len=kv_valid_len,
             return_lse=return_lse, num_heads_q=Hq, interpret=interpret,
-            softcap=softcap)
+            softcap=softcap, causal=causal, window=window)
         o = o[:, :, :Nq, :D]
         return o, (lse[:, :, :Nq] if lse is not None else None)
     if _can_decompose_causal(

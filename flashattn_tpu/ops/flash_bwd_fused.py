@@ -344,9 +344,21 @@ def _bwd_causal_resident_kernel(
     scale: float,
     causal: bool = True,
     window: tuple[int, int] | None = None,
+    n_rows: int | None = None,
+    row_off: int = 0,
+    col_off: int = 0,
 ):
     """Whole-sequence static-band fused backward, one grid step per
     (batch, head).
+
+    With ``n_rows``/``row_off``/``col_off`` the kernel serves one KV macro
+    slab of a longer windowed sequence (the macro launcher below): the
+    q-side refs hold ``n_rows`` rows starting at global row ``row_off``;
+    ``k_ref``/``v_ref``/``dk_ref``/``dv_ref`` hold ``n`` KV rows starting at
+    global column ``col_off``. dK/dV are COMPLETE for the slab's columns
+    (the row range covers every row whose band reaches them); dQ is the
+    PARTIAL contribution of these columns, summed across slabs by the
+    launcher. Band geometry is global; indexing local.
 
     Same rationale as the forward's resident kernel (flash_fwd.py): the flat
     grid pays a per-step pipeline bubble; here the entire causal pair
@@ -363,7 +375,10 @@ def _bwd_causal_resident_kernel(
     prec = (jax.lax.Precision.HIGHEST
             if q2_ref.dtype == jnp.float32 else None)
     mmd = q2_ref.dtype
-    tq = n // sub
+    if n_rows is None:
+        n_rows = n
+    tkv = n // sub        # kv tiles (local)
+    tqr = n_rows // sub   # q-row tiles (local)
     wl, wr = window if window is not None else (-1, -1)
 
     def dot(a, b, dims):
@@ -378,12 +393,19 @@ def _bwd_causal_resident_kernel(
     # Static pair list, kv-major (j outer). Each pair carries its chunk
     # list: [(rsl, c0e, w, up, lo, cb)] — band-straddling pairs split their
     # q rows so every chunk's dots narrow to the live lane-aligned columns
-    # (band_chunk); full pairs keep one whole-tile chunk.
+    # (band_chunk); full pairs keep one whole-tile chunk. Geometry is
+    # computed at GLOBAL coordinates, then column ranges and row slices are
+    # rebased to the local refs.
+    def to_local(t):
+        c0e, w, up, lo, cb = t
+        return (c0e - col_off, w, up, lo, cb)
+
     pairs = []
-    for j in range(tq):
-        for i in range(tq):
-            rf, rl = i * sub, (i + 1) * sub - 1
-            whole = band_chunk(rf, rl, j * sub, sub, causal=causal,
+    for j in range(tkv):
+        c0g = col_off + j * sub
+        for i in range(tqr):
+            rf, rl = row_off + i * sub, row_off + (i + 1) * sub - 1
+            whole = band_chunk(rf, rl, c0g, sub, causal=causal,
                                wl=wl, wr=wr, kv_valid_len=kv_valid_len)
             if whole is None:
                 continue
@@ -391,14 +413,16 @@ def _bwd_causal_resident_kernel(
             if boundary and n_chunks > 1:
                 chunks = []
                 for qp in range(n_chunks):
-                    crf = i * sub + qp * eff_tri
+                    crf = row_off + i * sub + qp * eff_tri
                     crl = crf + eff_tri - 1
-                    t = band_chunk(crf, crl, j * sub, sub, causal=causal,
+                    t = band_chunk(crf, crl, c0g, sub, causal=causal,
                                    wl=wl, wr=wr, kv_valid_len=kv_valid_len)
                     if t is not None:
-                        chunks.append((slice(crf, crl + 1),) + t)
+                        chunks.append(
+                            (slice(crf - row_off, crl + 1 - row_off),)
+                            + to_local(t))
             else:
-                chunks = [(slice(rf, rl + 1),) + whole]
+                chunks = [(slice(i * sub, (i + 1) * sub),) + to_local(whole)]
             pairs.append((j, i, chunks))
 
     def lead(pair):
@@ -472,7 +496,7 @@ def _bwd_causal_resident_kernel(
             val = seg if mul is None else seg * mul
             ref[0, 0, r0:r0 + NUM_LANES, :] = val.astype(ref.dtype)
 
-    dq_acc = {i: seg_init() for i in range(tq)}
+    dq_acc = {i: seg_init() for i in range(tqr)}
     dkv_acc = {}
     # Pairs are kv-major contiguous: store each kv tile's dK/dV right after
     # its last pair so the f32 segments go dead early (dQ row accumulators
@@ -504,12 +528,13 @@ def _bwd_causal_resident_kernel(
             del dkv_acc[j]
 
     zero_segs = None
-    for i in range(tq):
+    for i in range(tqr):
         seg_store(dq_ref, i, dq_acc[i], scale)
-        if i not in stored_j:  # kv tile with no live pairs (past the band)
+    for j in range(tkv):
+        if j not in stored_j:  # kv tile with no live pairs (past the band)
             zero_segs = zero_segs or seg_init()
-            seg_store(dk_ref, i, zero_segs)
-            seg_store(dv_ref, i, zero_segs)
+            seg_store(dk_ref, j, zero_segs)
+            seg_store(dv_ref, j, zero_segs)
 
 
 # Same budget rationale as the forward's resident path: the unrolled
@@ -561,11 +586,142 @@ def _use_resident_bwd(*, causal, window, static_offsets, Nqp, Nkp, sub):
         and static_offsets is not None
         and static_offsets[0] == static_offsets[1]
         and Nqp == Nkp and Nqp <= _RESIDENT_BWD_MAX_N
-        # only where the wide-tile flat path pads or under-tiles (see the
-        # routing measurements above)
-        and (Nqp % 2048 != 0 or Nqp < 2048)
+        # causal: only where the wide-tile flat path pads or under-tiles
+        # (routing measurements above). Windowed bands take the resident
+        # path everywhere it compiles: band_chunk narrows every straddling
+        # pair, while the flat path's window-edge pairs run fully masked at
+        # full width (r3: 2048² flat measured 4.76 ms vs ~2.4 expected at
+        # window=2048 N=4096).
+        and (Nqp % 2048 != 0 or Nqp < 2048 or window is not None)
         and Nqp % sub == 0
     )
+
+
+# ── Windowed KV-slab macro backward ────────────────────────────────────
+# Past the resident ceiling a windowed band still has bounded rows-per-
+# column, so slab the KV axis: each slab launch holds its macro_c columns
+# plus every row whose band reaches them (Element-indexed q-side blocks),
+# produces COMPLETE dK/dV for those columns and a PARTIAL dQ summed across
+# slabs by the launcher. The causal long-N training shape stays on the
+# wide-tile flat path (its rows-per-column is unbounded: slab 0 would see
+# every row).
+_MACRO_BWD_COLS = int(os.environ.get("FLASHATTN_TPU_MACRO_BWD_COLS", 1024))
+_MACRO_BWD_SUB = int(os.environ.get("FLASHATTN_TPU_MACRO_BWD_SUB", 512))
+
+
+def use_macro_bwd(*, causal, window, static_offsets, Nqp, Nkp):
+    if window is None:
+        return False
+    wl, wr = window
+    bounded = wl >= 0 and (causal or wr >= 0)
+    return (
+        bounded
+        and static_offsets is not None
+        and static_offsets[0] == static_offsets[1]
+        and Nqp == Nkp and Nqp > _RESIDENT_BWD_MAX_N
+        and Nqp % _MACRO_BWD_COLS == 0
+        and os.environ.get("FLASHATTN_TPU_MACRO_BWD", "1") == "1"
+    )
+
+
+def _bwd_macro_windowed(q2, k, v, do, lse2_rep, delta_rep, *, scale, causal,
+                        window, kv_valid_len, interpret):
+    """One resident-bwd launch per KV macro slab (see _use_resident_bwd's
+    macro note). Inputs are pre-padded and pre-folded (q2 = q·scale·log2e,
+    lse2 in the log2 domain) by :func:`bwd_fused_padded`."""
+    B, H, Nqp, D = q2.shape
+    Nkp = k.shape[2]
+    wl, wr = window
+    wr_eff = 0 if causal else wr
+    macro_c = _MACRO_BWD_COLS
+    sub = _MACRO_BWD_SUB
+    while sub > NUM_LANES and macro_c % sub:
+        sub -= NUM_LANES
+    tri = max(NUM_LANES, (sub // 2) // NUM_LANES * NUM_LANES)
+
+    dq_total = jnp.zeros((B, H, Nqp, D), jnp.float32)
+    dk_parts, dv_parts = [], []
+    for s in range(Nkp // macro_c):
+        col0 = s * macro_c
+        r_lo = max(0, (col0 - wr_eff) // sub * sub)
+        r_hi = min(Nqp, -((col0 + macro_c - 1 + wl + 1) // -sub) * sub)
+        n_rows = r_hi - r_lo
+        if n_rows <= 0 or col0 >= kv_valid_len:
+            dk_parts.append(jnp.zeros((B, H, macro_c, D), k.dtype))
+            dv_parts.append(jnp.zeros((B, H, macro_c, D), v.dtype))
+            continue
+        kernel = functools.partial(
+            _bwd_causal_resident_kernel,
+            n=macro_c, sub=sub, tri_sub=tri, head_dim=D,
+            kv_valid_len=kv_valid_len, mask_value=DEFAULT_MASK_VALUE,
+            scale=scale, causal=causal, window=window,
+            n_rows=n_rows, row_off=r_lo, col_off=col0)
+        kv_spec = pl.BlockSpec((1, 1, macro_c, D),
+                               lambda b, h, _s=s: (b, h, _s, 0),
+                               memory_space=pltpu.VMEM)
+        if interpret or r_lo == 0:
+            # interpreter has no Element indexing; r_lo == 0 needs none
+            def row_spec(width, _r=r_lo):
+                return pl.BlockSpec((1, 1, n_rows, width),
+                                    lambda b, h: (b, h, 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+            def rows_of(x):
+                return jax.lax.slice_in_dim(x, r_lo, r_hi, axis=2)
+        else:
+            from jax._src.pallas import core as pl_core
+
+            def row_spec(width, _r=r_lo):
+                return pl.BlockSpec(
+                    (pl_core.Element(1), pl_core.Element(1),
+                     pl_core.Element(n_rows), pl_core.Element(width)),
+                    lambda b, h, _rr=_r: (b, h, _rr, 0),
+                    memory_space=pltpu.VMEM)
+
+            def rows_of(x):
+                return x
+        band_pairs = macro_c // sub * (n_rows // sub)
+        cost = pl.CostEstimate(
+            flops=int(10 * sub * sub * D * B * H * band_pairs),
+            bytes_accessed=int((2 * n_rows * D + 2 * macro_c * D) * B * H
+                               * q2.dtype.itemsize),
+            transcendentals=int(B * H * sub * sub * band_pairs),
+        )
+        dq_s, dk_s, dv_s = pl.pallas_call(
+            kernel,
+            grid=(B, H),
+            in_specs=[row_spec(D), kv_spec, kv_spec, row_spec(D),
+                      row_spec(NUM_LANES), row_spec(NUM_LANES)],
+            out_specs=[
+                pl.BlockSpec((1, 1, n_rows, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, macro_c, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, macro_c, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                # f32 dQ partials: slab contributions are summed on the host
+                # side — bf16 partial sums would double the rounding error.
+                jax.ShapeDtypeStruct((B, H, n_rows, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, macro_c, D), k.dtype),
+                jax.ShapeDtypeStruct((B, H, macro_c, D), v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(rows_of(q2), k, v, rows_of(do), rows_of(lse2_rep),
+          rows_of(delta_rep))
+        dq_total = dq_total.at[:, :, r_lo:r_hi, :].add(dq_s)
+        dk_parts.append(dk_s)
+        dv_parts.append(dv_s)
+    dq = dq_total.astype(q2.dtype)
+    dk = jnp.concatenate(dk_parts, axis=2)
+    dv = jnp.concatenate(dv_parts, axis=2)
+    return dq, dk, dv
 
 
 @functools.partial(
@@ -590,6 +746,13 @@ def bwd_fused_padded(
 
     # Fold scale·log2e into q; lse → log2 domain to match (passed below).
     q2 = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+
+    if use_macro_bwd(causal=causal, window=window,
+                     static_offsets=static_offsets, Nqp=Nqp, Nkp=Nkp):
+        return _bwd_macro_windowed(
+            q2, k, v, do, lse_rep * LOG2E, delta_rep, scale=scale,
+            causal=causal, window=window, kv_valid_len=kv_valid_len,
+            interpret=interpret)
 
     rb_sub, rb_tri = _rb_geometry(Nqp)
     if _use_resident_bwd(causal=causal, window=window,

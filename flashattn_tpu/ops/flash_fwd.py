@@ -533,6 +533,7 @@ def _fwd_causal_resident_kernel(
     softcap: float | None = None,
     n_rows: int | None = None,
     row_off: int = 0,
+    col_off: int = 0,
 ):
     """Whole-sequence static-band forward (causal / sliding window / local
     window), one grid step per (batch, head).
@@ -540,8 +541,11 @@ def _fwd_causal_resident_kernel(
     With ``n_rows``/``row_off`` the kernel serves one macro row-chunk of a
     longer sequence (the macro-resident launcher below): ``q_ref`` holds
     ``n_rows`` rows whose global positions start at ``row_off``, while
-    ``k_ref``/``v_ref`` hold the ``n`` KV rows visible to this chunk. The
-    band geometry is computed in global coordinates; outputs are local.
+    ``k_ref``/``v_ref`` hold the ``n`` KV rows visible to this chunk,
+    starting at global column ``col_off`` (non-zero for windowed macro slabs,
+    whose visible band starts left of the slab but far right of column 0).
+    The band geometry is computed in global coordinates; k/v indexing and
+    outputs are local.
 
     The flat-grid causal kernel (above) pays a pipeline bubble per q-row
     transition (init + store + un-overlapped DMA): measured ~1.5 µs × Tq rows
@@ -587,14 +591,16 @@ def _fwd_causal_resident_kernel(
         rl = rf + sub_q - 1
         tiles = []
         for kp in range(n // sub_k):
-            c0 = kp * sub_k
+            c0 = col_off + kp * sub_k   # global column of this kv tile
             if c0 >= kv_valid_len or (causal and c0 > rl) or (
                     not causal and wr >= 0 and c0 > rl + wr):
                 break  # past the band's right edge / valid KV
             t = band_chunk(rf, rl, c0, sub_k, causal=causal, wl=wl, wr=wr,
                            kv_valid_len=kv_valid_len)
             if t is not None:
-                tiles.append(t)
+                # store the narrowed column range in LOCAL k_ref coordinates
+                c0e, w, up, lo, cb = t
+                tiles.append((c0e - col_off, w, up, lo, cb))
         return tiles
 
     tiles = [chain_tiles(qp) for qp in range(n_chains)]
@@ -787,14 +793,34 @@ _MACRO_ROWS_ENV = os.environ.get("FLASHATTN_TPU_MACRO_ROWS")
 _MACRO_SCORE_BUDGET = 32 * 1024 * 1024
 
 
-def _macro_rows(Nqp, Nkp):
+_MACRO_ALIGN = 256  # slab KV column offsets: sublane-safe for every dtype
+
+
+def _macro_band_w(m, Nkp, *, causal=True, window=None):
+    """Worst-case visible KV width of one macro slab of ``m`` rows."""
+    wl, wr = window if window is not None else (-1, -1)
+    right = (0 if causal else wr) if (causal or wr >= 0) else None
+    if wl < 0 and right is None:
+        return Nkp           # no band at all (shouldn't be routed here)
+    left = wl if wl >= 0 else None
+    w = m
+    w += (left + _MACRO_ALIGN) if left is not None else Nkp - m
+    w += (right + _MACRO_ALIGN) if right is not None else Nkp - m
+    return min(Nkp, w)
+
+
+def _macro_rows(Nqp, Nkp, *, causal=True, window=None):
     """Largest macro slab height (multiple of 512 dividing Nqp) whose
-    retained score tiles fit the budget; 0 if none."""
+    retained score tiles fit the budget; 0 if none. For windowed bands the
+    retained width is the slab's visible band, not the whole prefix."""
     if _MACRO_ROWS_ENV is not None:
         m = int(_MACRO_ROWS_ENV)
         return m if m and Nqp % m == 0 else 0
     m = 1024
-    while m >= 512 and (Nqp % m or m * Nkp * 4 > _MACRO_SCORE_BUDGET):
+    while m >= 512 and (
+            Nqp % m
+            or m * _macro_band_w(m, Nkp, causal=causal, window=window) * 4
+            > _MACRO_SCORE_BUDGET):
         m -= 512
     return max(m, 0)
 
@@ -802,29 +828,41 @@ def _macro_rows(Nqp, Nkp):
 def use_macro_resident(*, causal, window, need_tail_mask, bias, k_scale,
                        v_scale, static_offsets, Nqp, Nkp, seg=None):
     del need_tail_mask  # handled by band_chunk's per-call kv bound
+    banded = causal or (
+        window is not None and (window[0] >= 0 or window[1] >= 0))
     return (
-        causal and window is None
+        banded
         and bias is None and k_scale is None and v_scale is None
         and seg is None
         and static_offsets is not None
         and static_offsets[0] == static_offsets[1]
         and Nqp == Nkp and Nqp > _RESIDENT_CAUSAL_MAX_N
         # ≥2 slabs: one slab would be the resident kernel past its ceiling
-        and 0 < _macro_rows(Nqp, Nkp) < Nqp
+        and 0 < _macro_rows(Nqp, Nkp, causal=causal, window=window) < Nqp
         and os.environ.get("FLASHATTN_TPU_MACRO", "1") == "1"
     )
 
 
-def fwd_causal_macro_padded(
+def fwd_macro_padded(
     q, k, v, *, scale, kv_valid_len, return_lse, num_heads_q,
-    interpret=None, softcap=None,
+    interpret=None, softcap=None, causal=True,
+    window: tuple[int, int] | None = None,
 ):
-    """Causal forward past the resident ceiling: one resident-kernel launch
-    per macro row slab, visible-KV-prefix blocks, static band per launch.
+    """Banded forward past the resident ceiling (causal, causal+window, or
+    pure sliding window): one resident-kernel launch per macro row slab,
+    each holding only the slab's VISIBLE KV band in VMEM, static band
+    geometry per launch.
+
+    Windowed slabs start mid-sequence, so their KV band begins at a column
+    offset that is no multiple of the band width — fetched with an
+    Element-indexed BlockSpec (per-element static offsets; validated on
+    v5e, r4). Under interpret mode (CPU tests) the band is host-sliced
+    instead — Element indexing has no interpreter path.
 
     Role-parity: the reference sweeps causal to N=7168 through one kernel
     (bench_with_sdpa.py:201-224); here long context is a routing tier that
-    keeps every slab on resident-kernel rates.
+    keeps every slab on resident-kernel rates, and windowed cost scales
+    with the band area in wall-clock, not just FLOPs.
     """
     if interpret is None:
         interpret = platform.pallas_interpret_default()
@@ -836,25 +874,34 @@ def fwd_causal_macro_padded(
     _, Hkv, Nkp, _ = k.shape
     q_hd_ratio = Hq // Hkv
     aug_width = (128 - D % 128) if D % 128 != 0 else 0
-    macro = _macro_rows(Nqp, Nkp)
+    macro = _macro_rows(Nqp, Nkp, causal=causal, window=window)
     assert macro > 0 and Nqp == Nkp
+    wl, wr = window if window is not None else (-1, -1)
+    wr_eff = (0 if causal else wr) if (causal or wr >= 0) else None
 
     sub_q = 256 if macro % 256 == 0 else NUM_LANES
     o_parts, lse_parts = [], []
     for p in range(Nqp // macro):
         row_off = p * macro
-        vis = min(Nkp, row_off + macro)
-        sub_k = vis
-        while sub_k > NUM_LANES and (vis % sub_k or sub_k % NUM_LANES
+        if wr_eff is not None:
+            vis_end = min(Nkp, -((row_off + macro + wr_eff) // -_MACRO_ALIGN)
+                          * _MACRO_ALIGN)
+        else:
+            vis_end = Nkp
+        col_off = (max(0, (row_off - wl) // _MACRO_ALIGN * _MACRO_ALIGN)
+                   if wl >= 0 else 0)
+        band_w = vis_end - col_off
+        sub_k = band_w
+        while sub_k > NUM_LANES and (band_w % sub_k or sub_k % NUM_LANES
                                      or sub_k > 2048):
             sub_k -= NUM_LANES
         kernel = functools.partial(
             _fwd_causal_resident_kernel,
-            n=vis, sub_q=sub_q, sub_k=sub_k, head_dim=D,
+            n=band_w, sub_q=sub_q, sub_k=sub_k, head_dim=D,
             aug_width=aug_width, mask_value=DEFAULT_MASK_VALUE,
-            kv_valid_len=min(kv_valid_len, vis), causal=True, window=None,
-            lookahead=None, softcap=softcap,
-            n_rows=macro, row_off=row_off)
+            kv_valid_len=min(kv_valid_len, vis_end), causal=causal,
+            window=window, lookahead=None, softcap=softcap,
+            n_rows=macro, row_off=row_off, col_off=col_off)
         out_shapes = [jax.ShapeDtypeStruct((B, Hq, macro, D), q.dtype)]
         out_specs = [pl.BlockSpec((1, 1, macro, D), lambda b, h: (b, h, 0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -869,13 +916,38 @@ def fwd_causal_macro_padded(
         def rc_entry(qr, kr, vr, *outs, _kernel=kernel):
             _kernel(qr, kr, vr, outs[0], outs[1] if return_lse else None)
 
-        live_cells = macro * row_off + macro * macro // 2
+        if causal:
+            live_cells = macro * (row_off - col_off) + macro * macro // 2
+        else:
+            live_cells = macro * band_w
         cost = pl.CostEstimate(
             flops=int(4 * D * live_cells * B * Hq),
             bytes_accessed=int(
-                (macro * D * 2 + vis * D * 2) * B * Hq * q.dtype.itemsize),
+                (macro * D * 2 + band_w * D * 2) * B * Hq
+                * q.dtype.itemsize),
             transcendentals=int(B * Hq * live_cells),
         )
+        if col_off == 0:
+            kv_spec = pl.BlockSpec(
+                (1, 1, band_w, D), lambda b, h: (b, h // q_hd_ratio, 0, 0),
+                memory_space=pltpu.VMEM)
+            k_in, v_in = k, v
+        elif interpret:
+            # Interpreter has no Element indexing: host-slice the band.
+            kv_spec = pl.BlockSpec(
+                (1, 1, band_w, D), lambda b, h: (b, h // q_hd_ratio, 0, 0),
+                memory_space=pltpu.VMEM)
+            k_in = jax.lax.slice_in_dim(k, col_off, vis_end, axis=2)
+            v_in = jax.lax.slice_in_dim(v, col_off, vis_end, axis=2)
+        else:
+            from jax._src.pallas import core as pl_core
+
+            kv_spec = pl.BlockSpec(
+                (pl_core.Element(1), pl_core.Element(1),
+                 pl_core.Element(band_w), pl_core.Element(D)),
+                lambda b, h, _c=col_off: (b, h // q_hd_ratio, _c, 0),
+                memory_space=pltpu.VMEM)
+            k_in, v_in = k, v
         outs = pl.pallas_call(
             rc_entry,
             grid=(B, Hq),
@@ -883,12 +955,8 @@ def fwd_causal_macro_padded(
                 pl.BlockSpec((1, 1, macro, D),
                              lambda b, h, _p=p: (b, h, _p, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, vis, D),
-                             lambda b, h: (b, h // q_hd_ratio, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, vis, D),
-                             lambda b, h: (b, h // q_hd_ratio, 0, 0),
-                             memory_space=pltpu.VMEM),
+                kv_spec,
+                kv_spec,
             ],
             out_specs=out_specs,
             out_shape=out_shapes,
@@ -898,13 +966,17 @@ def fwd_causal_macro_padded(
             ),
             cost_estimate=cost,
             interpret=interpret,
-        )(q, k, v)
+        )(q, k_in, v_in)
         o_parts.append(outs[0])
         if return_lse:
             lse_parts.append(outs[1][..., 0])
     o = jnp.concatenate(o_parts, axis=2)
     lse = jnp.concatenate(lse_parts, axis=2) if return_lse else None
     return o, lse
+
+
+# Backward-compat alias (r3 name; spot scripts / NOTES reference it).
+fwd_causal_macro_padded = fwd_macro_padded
 
 
 def _use_resident_causal(*, causal, window, need_tail_mask, bias, k_scale,

@@ -97,6 +97,7 @@ def _ring_fwd_kernel(
     causal: bool,
     block_q: int,
     block_k: int,
+    window: tuple[int, int] | None = None,
 ):
     B, Hq, nq, D = q_hbm.shape
     Hkv, nk = k_hbm.shape[1], k_hbm.shape[2]
@@ -156,38 +157,56 @@ def _ring_fwd_kernel(
     kv_off = src_dev * nk
     q_base = my * nq
     is_first = s == 0
-    # Whole-chunk causal skip (chunk strictly above the diagonal for every
-    # local row). Step 0 always computes: it doubles as the O/m/l
-    # initialization pass (and for causal the step-0 chunk, the diagonal,
-    # is live anyway).
-    if causal:
-        run = jnp.logical_or(is_first, kv_off <= q_base + nq - 1)
-    else:
-        run = s >= 0  # always
+    # Whole-chunk band skip (chunk entirely outside the causal/window band
+    # for every local row). Step 0 always computes: it doubles as the O/m/l
+    # initialization pass (and the step-0 chunk, the diagonal, is live
+    # under any band that includes self-attention).
+    wl, wr = window if window is not None else (-1, -1)
+    run = is_first
+    live = None
+    if causal or (wr >= 0 and not causal):
+        wr_eff = 0 if causal else wr
+        live = kv_off <= q_base + nq - 1 + wr_eff
+    if wl >= 0:
+        left_ok = kv_off + nk - 1 >= q_base - wl
+        live = left_ok if live is None else jnp.logical_and(live, left_ok)
+    run = (s >= 0) if live is None else jnp.logical_or(is_first, live)
 
+    # Loops over (batch, head, q-tile) are ROLLED (fori_loop with traced
+    # indices), not unrolled: the fully-unrolled kernel at H8/nq4096
+    # exceeded 15 minutes of remote Mosaic compile (r3 NOTES) — the program
+    # was B·Hkv·rep·nqt·(nk/bk) dot groups. Rolled, it is one.
     @pl.when(run)
     def _compute():
-        for b in range(B):
-            for hkv in range(Hkv):
-                ck = pltpu.make_async_copy(
-                    kv_slots.at[slot, 0, b, hkv], kc, copy_sems.at[0])
-                cv = pltpu.make_async_copy(
-                    kv_slots.at[slot, 1, b, hkv], vc, copy_sems.at[1])
-                ck.start()
-                cv.start()
-                ck.wait()
-                cv.wait()
-                for hr in range(rep):
-                    h = hkv * rep + hr
-                    for qt in range(nqt):
-                        _merge_tile(
-                            b, h, qt, q_hbm, o_hbm, kc, vc,
-                            qt_buf, ot_buf, m_scr, l_scr,
-                            copy_sems, q_base, kv_off, is_first,
-                            causal=causal, block_q=block_q,
-                            block_k=block_k, nqt=nqt, Hq=Hq, nk=nk,
-                            dtype=dtype,
-                        )
+        def per_bh(i, carry):
+            b = i // Hkv
+            hkv = jax.lax.rem(i, Hkv)
+            ck = pltpu.make_async_copy(
+                kv_slots.at[slot, 0, b, hkv], kc, copy_sems.at[0])
+            cv = pltpu.make_async_copy(
+                kv_slots.at[slot, 1, b, hkv], vc, copy_sems.at[1])
+            ck.start()
+            cv.start()
+            ck.wait()
+            cv.wait()
+
+            def per_tile(t, carry2):
+                hr = t // nqt
+                qt = jax.lax.rem(t, nqt)
+                h = hkv * rep + hr
+                _merge_tile(
+                    b, h, qt, q_hbm, o_hbm, kc, vc,
+                    qt_buf, ot_buf, m_scr, l_scr,
+                    copy_sems, q_base, kv_off, is_first,
+                    causal=causal, block_q=block_q,
+                    block_k=block_k, nqt=nqt, Hq=Hq, nk=nk,
+                    dtype=dtype, window=window,
+                )
+                return carry2
+
+            return jax.lax.fori_loop(0, rep * nqt, per_tile, carry)
+
+        jax.lax.fori_loop(0, B * Hkv, per_bh, 0)
 
     # ---- last step: normalize every q-tile from the running state ----
     # A separate pass, NOT fused into the chunk merge: under causal skipping
@@ -195,13 +214,17 @@ def _ring_fwd_kernel(
     # tail, so a merge-fused epilogue would never run there.
     @pl.when(s == n_dev - 1)
     def _normalize():
-        for b in range(B):
-            for h in range(Hq):
-                for qt in range(nqt):
-                    _finalize_tile(
-                        b, h, qt, o_hbm, lse_hbm, ot_buf, lse_buf,
-                        m_scr, l_scr, copy_sems,
-                        block_q=block_q, nqt=nqt, Hq=Hq)
+        def fin(i, carry):
+            b = i // (Hq * nqt)
+            h = jax.lax.rem(i // nqt, Hq)
+            qt = jax.lax.rem(i, nqt)
+            _finalize_tile(
+                b, h, qt, o_hbm, lse_hbm, ot_buf, lse_buf,
+                m_scr, l_scr, copy_sems,
+                block_q=block_q, nqt=nqt, Hq=Hq)
+            return carry
+
+        jax.lax.fori_loop(0, B * Hq * nqt, fin, 0)
 
     if n_dev > 1:
         # ---- close the step: drain send, free our slot, await recv ----
@@ -225,12 +248,15 @@ def _ring_fwd_kernel(
 
 def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
                 m_scr, l_scr, copy_sems, q_base, kv_off, is_first,
-                *, causal, block_q, block_k, nqt, Hq, nk, dtype):
+                *, causal, block_q, block_k, nqt, Hq, nk, dtype,
+                window=None):
     """One (b, h, q-tile): chunk-local online softmax over the KV tiles in
     VMEM, then a single LSE-style merge into the persistent running state
     (m, l in VMEM scratch; unnormalized O in HBM)."""
     idx = (b * Hq + h) * nqt + qt
     rows = qt * block_q
+    wl, wr = window if window is not None else (-1, -1)
+    masked = causal or wl >= 0 or wr >= 0
 
     cq = pltpu.make_async_copy(
         q_hbm.at[b, h, pl.ds(rows, block_q), :], qt_buf, copy_sems.at[2])
@@ -245,19 +271,25 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
     # full-precision matmuls (same trap as flash_fwd.py, found on-chip r1).
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
-    m_c = jnp.full((block_q, 1), DEFAULT_MASK_VALUE, jnp.float32)
-    l_c = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
-    for j in range(nk // block_k):
+    def kv_step(j, st):
+        m_c, l_c, acc = st
         k_j = kc[pl.ds(j * block_k, block_k), :]
         sc = jax.lax.dot_general(
             q, k_j, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        if causal:
+        if masked:
             col_ids = (kv_off + j * block_k
                        + jax.lax.broadcasted_iota(
                            jnp.int32, (block_q, block_k), 1))
-            sc = jnp.where(col_ids <= row_ids, sc, DEFAULT_MASK_VALUE)
+            keep = None
+            if causal:
+                keep = col_ids <= row_ids
+            elif wr >= 0:
+                keep = col_ids <= row_ids + wr
+            if wl >= 0:
+                lk = col_ids >= row_ids - wl
+                keep = lk if keep is None else jnp.logical_and(keep, lk)
+            sc = jnp.where(keep, sc, DEFAULT_MASK_VALUE)
         m_new = jnp.maximum(m_c, jnp.max(sc, axis=-1, keepdims=True))
         p = jnp.exp2(sc - m_new)
         alpha = jnp.exp2(m_c - m_new)
@@ -266,7 +298,13 @@ def _merge_tile(b, h, qt, q_hbm, o_hbm, kc, vc, qt_buf, ot_buf,
             p.astype(dtype), v_j, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         l_c = l_c * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_c = m_new
+        return (m_new, l_c, acc)
+
+    m_c, l_c, acc = jax.lax.fori_loop(
+        0, nk // block_k, kv_step,
+        (jnp.full((block_q, 1), DEFAULT_MASK_VALUE, jnp.float32),
+         jnp.zeros((block_q, 1), jnp.float32),
+         jnp.zeros((block_q, q.shape[-1]), jnp.float32)))
 
     # ---- merge the chunk partial into the running state ----
     o_slice = o_hbm.at[b, h, pl.ds(rows, block_q), :]
@@ -341,7 +379,8 @@ def _finalize_tile(b, h, qt, o_hbm, lse_hbm, ot_buf, lse_buf, m_scr, l_scr,
 
 
 def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
-                          block_q, block_k, interpret_params=None):
+                          block_q, block_k, interpret_params=None,
+                          window=None):
     """Launch the ring kernel on local chunks (inside shard_map).
 
     Returns (o f32, lse f32 natural-log). q/k/v: [B, H(,kv), n, D_pad],
@@ -355,7 +394,7 @@ def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
 
     kern = functools.partial(
         _ring_fwd_kernel, axis_name=axis_name, n_dev=n_dev, causal=causal,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, window=window,
     )
     if interpret_params is None:
         interpret = (pltpu.InterpretParams()
@@ -408,18 +447,22 @@ def _block_sizes(nq: int, nk: int) -> tuple[int, int]:
 
 
 def supported(nq: int, nk: int, d: int, window) -> bool:
-    """Static eligibility of the kernel route for local chunk shapes."""
+    """Static eligibility of the kernel route for local chunk shapes.
+    Sliding windows are supported since r4 (in-kernel band masking + whole-
+    chunk band skip)."""
+    del window
     bq, bk = _block_sizes(nq, nk)
-    return (window is None and nq % bq == 0 and nk % bk == 0
+    return (nq % bq == 0 and nk % bk == 0
             and nq % 128 == 0 and nk % 128 == 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _ring_kernel_core(q, k, v, axis_name, n_dev, causal, scale):
-    return _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ring_kernel_core(q, k, v, axis_name, n_dev, causal, scale, window):
+    return _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale,
+                            window)[0]
 
 
-def _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale):
+def _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale, window):
     B, Hq, nq, D = q.shape
     dp = _pad_head_dim(D)
     bq, bk = _block_sizes(nq, k.shape[2])
@@ -432,18 +475,18 @@ def _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale):
     else:
         kp, vp = k, v
     o, lse = _ring_kernel_fwd_call(qs, kp, vp, axis_name, n_dev, causal,
-                                   scale, bq, bk)
+                                   scale, bq, bk, window=window)
     o = o[..., :D].astype(q.dtype)
     return o, (q, k, v, o, lse)
 
 
-def _ring_kernel_bwd(axis_name, n_dev, causal, scale, residuals, g):
+def _ring_kernel_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
     # gradient path: the ppermute ring backward (numerically pinned there)
     from flashattn_tpu.parallel import ring as _ring
 
     q, k, v, o, lse = residuals
     outs = _ring._ring_core_bwd(
-        axis_name, n_dev, causal, scale, None,
+        axis_name, n_dev, causal, scale, window,
         (q, k, v, None, None, o, lse), g)
     return outs[:3]
 
@@ -460,6 +503,7 @@ def ring_attention_kernel(
     axis_size: int,
     causal: bool = False,
     scale: float | None = None,
+    window: tuple[int, int] | None = None,
 ) -> jax.Array:
     """In-kernel ring attention on local chunks (call inside ``shard_map``).
 
@@ -467,13 +511,14 @@ def ring_attention_kernel(
     (sequence-sharded q/k/v ``[B, H, N/P, D]``; GQA supported; differentiable
     — backward runs the ppermute ring) but the forward rotates KV via remote
     DMAs issued inside one Pallas kernel, structurally overlapped with the
-    per-tile compute.
+    per-tile compute. ``window=(left, right)`` masks to a sliding band in
+    GLOBAL positions (ring chunks skip bands entirely out of reach).
     """
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     kdt = _dispatch_dtype(q.dtype)
     in_dtype = q.dtype
-    if not supported(q.shape[2], k.shape[2], q.shape[3], None):
+    if not supported(q.shape[2], k.shape[2], q.shape[3], window):
         raise ValueError(
             f"ring kernel route needs 128-aligned local chunks, got "
             f"nq={q.shape[2]} nk={k.shape[2]}; use impl='xla'")
@@ -483,6 +528,7 @@ def ring_attention_kernel(
     o = _ring_kernel_core(
         q.astype(kdt), k.astype(kdt), v.astype(kdt),
         axis_name, int(axis_size), bool(causal), float(scale),
+        None if window is None else (int(window[0]), int(window[1])),
     )
     return o.astype(in_dtype)
 
@@ -496,6 +542,7 @@ def ring_attention_kernel_sharded(
     causal: bool = False,
     scale: float | None = None,
     interpret_params=None,
+    window: tuple[int, int] | None = None,
 ):
     """Jitted global-shape entry point for the in-kernel ring (the
     ``impl="kernel"`` twin of ``ring.ring_attention_sharded``).
@@ -511,7 +558,7 @@ def ring_attention_kernel_sharded(
         if interpret_params is None:
             return ring_attention_kernel(
                 q, k, v, axis_name=axis, axis_size=n, causal=causal,
-                scale=scale)
+                scale=scale, window=window)
         # test hook: forward-only launch with explicit interpret params
         if scale is None:
             sc = float(q.shape[-1]) ** -0.5
@@ -522,7 +569,7 @@ def ring_attention_kernel_sharded(
         qs = (q.astype(jnp.float32) * (sc * LOG2E)).astype(kdt)
         o, _ = _ring_kernel_fwd_call(
             qs, k.astype(kdt), v.astype(kdt), axis, n, causal, sc, bq, bk,
-            interpret_params=interpret_params)
+            interpret_params=interpret_params, window=window)
         return o.astype(q.dtype)
 
     mapped = jax.shard_map(

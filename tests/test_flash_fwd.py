@@ -358,9 +358,14 @@ class TestMacroResident:
                     bias=None, k_scale=None, v_scale=None,
                     static_offsets=(0, 0), Nqp=2048, Nkp=2048)
         assert flash_fwd.use_macro_resident(**base)
+        # noncausal without a window has no band: not macro-eligible
         assert not flash_fwd.use_macro_resident(**{**base, "causal": False})
+        # windowed bands ARE macro-eligible since r4 (causal or not)
+        assert flash_fwd.use_macro_resident(**{**base, "window": (128, 0)})
+        assert flash_fwd.use_macro_resident(
+            **{**base, "causal": False, "window": (128, 128)})
         assert not flash_fwd.use_macro_resident(
-            **{**base, "window": (128, 0)})
+            **{**base, "causal": False, "window": (-1, -1)})
         assert not flash_fwd.use_macro_resident(
             **{**base, "static_offsets": (0, 7)})
         assert not flash_fwd.use_macro_resident(**{**base, "Nkp": 1024})

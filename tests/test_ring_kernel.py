@@ -49,6 +49,22 @@ def test_ring_kernel_matches_oracle(causal):
     assert_close(got, want, FWD_TOL[jnp.float32.dtype])
 
 
+@pytest.mark.parametrize("causal,window", [(True, (160, -1)),
+                                           (False, (160, 160))])
+def test_ring_kernel_window(causal, window):
+    """Sliding-window band masking in GLOBAL positions across ring chunks
+    (supported() widened in r4); race detector stays on."""
+    mesh = _mesh(4)
+    q, k, v = make_qkv(jax.random.PRNGKey(1), 1, 2, 4 * 128, 128)
+    fn = ring_attention_kernel_sharded(
+        mesh, axis="seq", batch_axis=None, head_axis=None, causal=causal,
+        window=window,
+        interpret_params=pltpu.InterpretParams(detect_races=True))
+    got = fn(q, k, v)
+    want = attention_reference(q, k, v, causal=causal, window=window)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+
+
 @pytest.mark.slow
 def test_ring_kernel_gqa_bf16_8dev():
     mesh = _mesh(8)
