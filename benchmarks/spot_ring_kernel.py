@@ -36,36 +36,41 @@ from flashattn_tpu.utils.timing import attention_flops, time_chained
 
 
 def main():
-    # Kept small: the kernel body unrolls B·Hkv·nqt merge tiles × nk/block_k
-    # KV steps per ring step, and the remote Mosaic compile of the 4096/H8
-    # variant exceeded 15 min on the tunnel. H4/N2048 (16 tiles × 4 steps)
-    # exercises every lowering feature at ~1/8 the program size.
-    B, H, N, D = 1, 4, 2048, 128
+    # H8/N4096 since r4: the kernel's (batch, head, q-tile) and KV-tile
+    # loops are ROLLED into fori_loops, so the Mosaic program size no longer
+    # scales with the shape (the r3 fully-unrolled variant exceeded 15 min
+    # of remote compile at this shape; rolled, it compiles in seconds).
+    B, H, N, D = 1, 8, 4096, 128
     dtype = jnp.bfloat16
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
     mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("seq",))
-    for causal in (False, True):
+    for causal, window in ((False, None), (True, None), (True, (1024, -1))):
         fn = ring_attention_kernel_sharded(
-            mesh, axis="seq", batch_axis=None, head_axis=None, causal=causal)
+            mesh, axis="seq", batch_axis=None, head_axis=None, causal=causal,
+            window=window)
         o = fn(q, k, v)
         w = attention_reference(
-            *(x.astype(jnp.float32) for x in (q, k, v)), causal=causal)
+            *(x.astype(jnp.float32) for x in (q, k, v)), causal=causal,
+            window=window)
         md = float(jnp.max(jnp.abs(o.astype(jnp.float32) - w)))
         ok = md < FWD_TOL[jnp.dtype(dtype)].atol
         t = time_chained(lambda qq, k, v: fn(qq, k, v), q, consts=(k, v),
                          iters=16, warmup_iters=4, repeats=3)
         t_ref = time_chained(
-            lambda qq, k, v: flash_attention(qq, k, v, causal=causal),
+            lambda qq, k, v: flash_attention(qq, k, v, causal=causal,
+                                             window=window),
             q, consts=(k, v), iters=16, warmup_iters=4, repeats=3)
-        fl = attention_flops(B, H, N, N, D, causal=causal, mode="fwd")
+        fl = attention_flops(B, H, N, N, D, causal=causal, mode="fwd",
+                             window=window)
         print(json.dumps({
-            "check": f"ring_kernel_1chip_causal={causal}",
-            "N": N, "D": D, "maxdiff": round(md, 6), "ok": ok,
+            "check": f"ring_kernel_1chip_causal={causal}_window={window}",
+            "N": N, "D": D, "H": H, "maxdiff": round(md, 6), "ok": ok,
             "ms": round(t * 1e3, 4), "tflops": round(fl / t / 1e12, 2),
             "fused_kernel_ms": round(t_ref * 1e3, 4),
         }), flush=True)
         if not ok:
-            sys.exit(f"NUMERICS FAILED: ring kernel causal={causal}")
+            sys.exit(f"NUMERICS FAILED: ring kernel causal={causal} "
+                     f"window={window}")
 
 
 if __name__ == "__main__":

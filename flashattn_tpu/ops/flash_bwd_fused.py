@@ -605,7 +605,12 @@ def _use_resident_bwd(*, causal, window, static_offsets, Nqp, Nkp, sub):
 # slabs by the launcher. The causal long-N training shape stays on the
 # wide-tile flat path (its rows-per-column is unbounded: slab 0 would see
 # every row).
-_MACRO_BWD_COLS = int(os.environ.get("FLASHATTN_TPU_MACRO_BWD_COLS", 1024))
+
+# r4 tuning (window=(2048,-1) causal N=8192 D=128, median-of-5): cols 2048 /
+# sub 512 = 105.8 TF vs 98.8 at cols 1024; sub 1024 loses (90.6-100.9 —
+# fewer, fatter pairs defeat the la=1 MXU/VPU overlap), cols 4096 is flat
+# (105.3) with double the slab row range.
+_MACRO_BWD_COLS = int(os.environ.get("FLASHATTN_TPU_MACRO_BWD_COLS", 2048))
 _MACRO_BWD_SUB = int(os.environ.get("FLASHATTN_TPU_MACRO_BWD_SUB", 512))
 
 
