@@ -236,6 +236,12 @@ def main():
         if args.mode == "fwd":
             # reference tops out at 7168; 8192 extends the long-context story
             n_sweep += [6144, 7168, 8192]
+            if args.causal:
+                # macro-resident tier (row-slab launches past the resident
+                # ceiling — the committed long-N story, r4)
+                n_sweep += [12288, 16384]
+        elif args.causal:
+            n_sweep += [8192]  # the LLM-training long-context shape
         # low end 16..48: the SD1.5 cross-attention head class the
         # reference's D-scan explicitly covers (bench_with_sdpa.py:259-283
         # scans 16..240 step 16)

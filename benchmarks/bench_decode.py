@@ -66,12 +66,16 @@ def bench_decode_tokens_per_s(cfg, batch, cache_len, iters):
     return rec
 
 
-def bench_quantized_attn(B, H, nk, D, iters, kv_dtype):
-    """Decode-shape fused attention: Nq=1 row against a long KV cache."""
+def bench_quantized_attn(B, H, nk, D, iters, kv_dtype, *, hkv=None, nq=1):
+    """Decode-shape fused attention: ``nq`` query rows against a long KV
+    cache. ``hkv`` < H benches the GQA cache (the memory-bound config class
+    real serving runs — the cache is Hkv-wide, so the bandwidth floor drops
+    by H/Hkv); ``nq`` in {4, 16} is the speculative/multi-query row."""
+    hkv = H if hkv is None else hkv
     kq, kk, kv2 = jax.random.split(jax.random.PRNGKey(0), 3)
-    q = jax.random.normal(kq, (B, H, 1, D), jnp.bfloat16)
-    k = jax.random.normal(kk, (B, H, nk, D), jnp.bfloat16)
-    v = jax.random.normal(kv2, (B, H, nk, D), jnp.bfloat16)
+    q = jax.random.normal(kq, (B, H, nq, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, hkv, nk, D), jnp.bfloat16)
+    v = jax.random.normal(kv2, (B, hkv, nk, D), jnp.bfloat16)
 
     if kv_dtype == "bf16":
         step = lambda qq, k, v: qq + 1e-30 * flash_attention(qq, k, v)
@@ -87,12 +91,14 @@ def bench_quantized_attn(B, H, nk, D, iters, kv_dtype):
 
     t = time_chained(step, q, consts=consts, iters=iters,
                      warmup_iters=max(2, iters // 4), repeats=2)
-    kv_bytes = 2 * B * H * nk * D * (2 if kv_dtype == "bf16" else 1)
+    kv_bytes = 2 * B * hkv * nk * D * (2 if kv_dtype == "bf16" else 1)
     from flashattn_tpu.utils.platform import native_fp8_matmul
     rec = {
         "bench": "decode_attn", "kv_dtype": kv_dtype,
         **({"native_fp8": native_fp8_matmul()} if kv_dtype == "fp8" else {}),
         "B": B, "H": H, "nk": nk, "D": D,
+        **({"Hkv": hkv} if hkv != H else {}),
+        **({"Nq": nq} if nq != 1 else {}),
         "us": round(t * 1e6, 2),
         "kv_read_gbps": round(kv_bytes / t / 1e9, 1),
     }
@@ -119,6 +125,17 @@ def main():
     for nk in nks:
         for kv_dtype in ("bf16", "int8", "fp8"):
             bench_quantized_attn(8, 16, nk, 128, args.iters, kv_dtype)
+
+    # GQA decode (Hkv < H — the production serving cache layout) and
+    # speculative multi-query rows (VERDICT r3 #9).
+    gqa_nks = [8192] if args.quick else [8192, 32768]
+    for nk in gqa_nks:
+        for hkv in (4, 2):
+            for kv_dtype in ("bf16", "int8"):
+                bench_quantized_attn(8, 16, nk, 128, args.iters, kv_dtype,
+                                     hkv=hkv)
+        for nq in (4, 16):
+            bench_quantized_attn(8, 16, nk, 128, args.iters, "bf16", nq=nq)
 
 
 if __name__ == "__main__":

@@ -540,7 +540,10 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     # edge pairs run fully masked at full width — wide blocks multiply that
     # waste (2048² measured 4.76 ms vs ~2.4 expected at window=2048
     # N=4096); 1024 blocks keep ~⅓ of band pairs mask-free.
-    _bf_default = 1024 if window is not None else 2048
+    # Fat head dims (D > 128): 2048² blocks thrash VMEM at the padded D —
+    # 1024² measured +29% at D=160 (63.2 -> 81.5 TF causal fwd+bwd N=4096)
+    # and +27% at D=256 (107.3 -> 136.3), r4 tuning matrices.
+    _bf_default = 1024 if (window is not None or D > 128) else 2048
     bq_f = max(128, min(int(_bqf_env) if _bqf_env else _bf_default,
                         _round_up(Nq, 128)))
     bk_f = max(128, min(int(_bkf_env) if _bkf_env else _bf_default,

@@ -816,8 +816,12 @@ def bwd_fused_padded(
     # 256-row diagonal chunks measured best at every block size (r3 tuning:
     # bq1024 tri256 128.7 vs tri128 122.9 / tri512 121.3; bq2048 tri256
     # 132.0 vs tri512 125.4 — fwd+bwd causal N=4096 D=128).
+    # tri256 pinned for D=128 (r3 matrices); at D<=64 the thin-matmul-bound
+    # bwd measured marginally better on tri128 (68.4 vs 67.2, r4).
     _trif = os.environ.get("FLASHATTN_TPU_TRIF")
-    tri_sub = max(NUM_LANES, min(int(_trif) if _trif else 256, block_q))
+    _tri_default = 128 if D <= 64 else 256
+    tri_sub = max(NUM_LANES,
+                  min(int(_trif) if _trif else _tri_default, block_q))
     tri_edge = bool(
         causal and window is None and kv_valid_len == Nkp
         and block_q == block_k
