@@ -269,6 +269,17 @@ def main():
         for impl in impls:
             bench_one(impl, B, H, 4096, D, causal=args.causal, mode=args.mode,
                       layout=args.layout, dtype=dtype)
+    if args.causal and not args.unaligned and dtype == jnp.bfloat16:
+        # Macro-resident flagship rows: the long-context LLM shape class is
+        # D=128 (the N sweep above is D=64 for reference parity,
+        # bench_with_sdpa.py:52). r3's best long-N numbers lived only in
+        # uncommitted spot logs — these rows put them in the committed
+        # record.
+        longn = ((8192, 12288, 16384) if args.mode == "fwd"
+                 else (8192, 16384))
+        for N in longn:
+            bench_one("ours", B, H, N, 128, causal=True, mode=args.mode,
+                      layout=args.layout, dtype=dtype)
 
 
 if __name__ == "__main__":
