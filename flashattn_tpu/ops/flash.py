@@ -758,6 +758,26 @@ def flash_attention(
     kdt = _dispatch_dtype(in_dtype)
     q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
 
+    # GQA decode fold: tiny-Nq queries against a GQA cache would read each
+    # KV block rep = Hq/Hkv times (once per q head, grid over Hq). Folding
+    # one kv head's rep q-heads into the Q-tile ROWS reads the cache once:
+    # [B, Hq, Nq, D] -> [B, Hkv, rep·Nq, D] — head-major rows, exactly the
+    # kernel's h // rep GQA mapping, still within the 16/32-row decode tile.
+    # Sound only when nothing depends on a row's sequence position:
+    # non-causal, no window/segments, no bias (bias has a head dim).
+    # Measured r4: Hkv=2 decode at nk=32768 was 94.6 GB/s unique-byte
+    # bandwidth unfolded (8 redundant reads); folded reads at full rate.
+    rep_fold = q.shape[1] // k.shape[1]
+    if (rep_fold > 1 and not causal and window is None and bias is None
+            and segment_ids is None and q.shape[2] * rep_fold <= 32
+            and block_sizes is None):
+        B_, Hq_, Nq_, D_ = q.shape
+        of = flash_attention(
+            q.reshape(B_, k.shape[1], rep_fold * Nq_, D_), k, v,
+            scale=scale, logit_softcap=logit_softcap, interpret=interpret)
+        return _from_bhnd(
+            of.reshape(B_, Hq_, Nq_, D_).astype(in_dtype), layout)
+
     if block_sizes is None:
         block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3],
                                          kdt, bias is not None, bool(causal))

@@ -131,6 +131,18 @@ def flash_attention_quantized(
     kdt = _dispatch_dtype(in_dtype)
     q = q.astype(kdt)
 
+    # GQA decode fold (same as flash_attention): tiny-Nq non-causal queries
+    # against a GQA cache fold rep q-heads into the Q-tile rows so each
+    # quantized KV block is read once instead of rep times.
+    rep_fold = Hq // Hkv
+    if (rep_fold > 1 and not causal and bias is None
+            and Nq * rep_fold <= 32):
+        of = flash_attention_quantized(
+            q.reshape(B, Hkv, rep_fold * Nq, D).astype(in_dtype), qkv,
+            scale=scale, interpret=interpret)
+        of = of.reshape(B, Hq, Nq, D)
+        return jnp.swapaxes(of, 1, 2) if layout == "BNHD" else of
+
     blocks = choose_block_sizes(Nq, Nk, D, kdt, bias is not None,
                                 bool(causal))
     bq, bk = blocks.block_q, blocks.block_k

@@ -411,3 +411,20 @@ class TestMacroResident:
         ok, why, _, _ = grad_gate(grads, grads_want,
                                   BWD_TOL[jnp.float32.dtype])
         assert ok, why
+
+
+def test_gqa_decode_fold_matches_oracle():
+    """Tiny-Nq non-causal GQA routes through the head-fold (rep q-heads
+    become Q-tile rows so the cache is read once); numerics must match the
+    per-head oracle exactly, including the grad path (pure reshapes)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(30), 2, 8, 2, 64, Nk=384, Hkv=2)
+    want = attention_reference(q, k, v)
+    got = flash_attention(q, k, v)
+    assert_close(got, want, FWD_TOL[jnp.float32.dtype])
+    g = jax.grad(lambda k: (flash_attention(q, k, v) ** 2).sum())(k)
+    gw = jax.grad(lambda k: (attention_reference(q, k, v) ** 2).sum())(k)
+    assert_close(g, gw, FWD_TOL[jnp.float32.dtype], "dk")
+    # causal / window / bias / big-Nq keep the unfolded route (soundness)
+    got_c = flash_attention(q, k, v, causal=True, q_offset=382)
+    want_c = attention_reference(q, k, v, causal=True, q_offset=382)
+    assert_close(got_c, want_c, FWD_TOL[jnp.float32.dtype], "causal")
