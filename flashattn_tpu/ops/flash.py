@@ -767,13 +767,20 @@ def flash_attention(
     # non-causal, no window/segments, no bias (bias has a head dim).
     # Measured r4: Hkv=2 decode at nk=32768 was 94.6 GB/s unique-byte
     # bandwidth unfolded (8 redundant reads); folded reads at full rate.
+    # A head-broadcast bias (shape[1] == 1, e.g. decode's not-yet-written
+    # cache-slot mask) is fold-safe: every folded row sees the same column
+    # bias (rows tiled head-major when the bias is row-dependent).
     rep_fold = q.shape[1] // k.shape[1]
-    if (rep_fold > 1 and not causal and window is None and bias is None
+    if (rep_fold > 1 and not causal and window is None
+            and (bias is None or bias.shape[1] == 1)
             and segment_ids is None and q.shape[2] * rep_fold <= 32
             and block_sizes is None):
         B_, Hq_, Nq_, D_ = q.shape
+        bf = bias
+        if bf is not None and bf.shape[2] > 1:
+            bf = jnp.tile(bf, (1, 1, rep_fold, 1))
         of = flash_attention(
-            q.reshape(B_, k.shape[1], rep_fold * Nq_, D_), k, v,
+            q.reshape(B_, k.shape[1], rep_fold * Nq_, D_), k, v, bias=bf,
             scale=scale, logit_softcap=logit_softcap, interpret=interpret)
         return _from_bhnd(
             of.reshape(B_, Hq_, Nq_, D_).astype(in_dtype), layout)

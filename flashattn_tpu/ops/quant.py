@@ -133,15 +133,22 @@ def flash_attention_quantized(
 
     # GQA decode fold (same as flash_attention): tiny-Nq non-causal queries
     # against a GQA cache fold rep q-heads into the Q-tile rows so each
-    # quantized KV block is read once instead of rep times.
+    # quantized KV block is read once instead of rep times. Head-broadcast
+    # biases (decode's cache-slot mask) are fold-safe.
     rep_fold = Hq // Hkv
-    if (rep_fold > 1 and not causal and bias is None
-            and Nq * rep_fold <= 32):
-        of = flash_attention_quantized(
-            q.reshape(B, Hkv, rep_fold * Nq, D).astype(in_dtype), qkv,
-            scale=scale, interpret=interpret)
-        of = of.reshape(B, Hq, Nq, D)
-        return jnp.swapaxes(of, 1, 2) if layout == "BNHD" else of
+    if rep_fold > 1 and not causal and Nq * rep_fold <= 32:
+        bf = bias
+        if bf is not None:
+            while bf.ndim < 4:
+                bf = bf[None]
+        if bf is None or bf.shape[1] == 1:
+            if bf is not None and bf.shape[2] > 1:
+                bf = jnp.tile(bf, (1, 1, rep_fold, 1))
+            of = flash_attention_quantized(
+                q.reshape(B, Hkv, rep_fold * Nq, D).astype(in_dtype), qkv,
+                bias=bf, scale=scale, interpret=interpret)
+            of = of.reshape(B, Hq, Nq, D)
+            return jnp.swapaxes(of, 1, 2) if layout == "BNHD" else of
 
     blocks = choose_block_sizes(Nq, Nk, D, kdt, bias is not None,
                                 bool(causal))

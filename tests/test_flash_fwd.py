@@ -428,3 +428,13 @@ def test_gqa_decode_fold_matches_oracle():
     got_c = flash_attention(q, k, v, causal=True, q_offset=382)
     want_c = attention_reference(q, k, v, causal=True, q_offset=382)
     assert_close(got_c, want_c, FWD_TOL[jnp.float32.dtype], "causal")
+    # head-broadcast bias (decode's cache-slot mask) IS fold-safe —
+    # row-dependent variant exercises the head-major row tiling
+    for bshape in ((1, 1, 1, 384), (2, 1, 2, 384)):
+        bias = jnp.where(
+            jax.random.uniform(jax.random.PRNGKey(31), bshape) > 0.3,
+            0.0, -1e9).astype(jnp.float32)
+        got_b = flash_attention(q, k, v, bias=bias)
+        want_b = attention_reference(q, k, v, bias=bias)
+        assert_close(got_b, want_b, FWD_TOL[jnp.float32.dtype],
+                     f"bias{bshape}")
