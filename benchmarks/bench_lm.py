@@ -72,7 +72,10 @@ def bench_one(cfg, batch, seqlen, attn_impl, iters, packed=False):
     rec = {"bench": "lm_train",
            "impl": attn_impl + ("-packed" if packed else ""), "batch": batch,
            "seqlen": seqlen, "d_model": cfg.d_model,
-           "n_layers": cfg.n_layers, "n_heads": cfg.n_heads}
+           "n_layers": cfg.n_layers, "n_heads": cfg.n_heads,
+           **({"sliding_window": cfg.sliding_window}
+              if cfg.sliding_window else {}),
+           **({"remat": True} if cfg.remat else {})}
     try:
         t = time_chained(step, (params, opt), consts=consts, iters=iters,
                          warmup_iters=max(1, min(iters - 1, iters // 4)),
@@ -132,6 +135,20 @@ def main():
             bench_one(cfg, batch, seqlen, impl, args.iters)
     # Packed varlen batch (8 docs/row): the segment-masking overhead column.
     bench_one(cfg, *shapes[-1], "fused", args.iters, packed=True)
+    if not args.quick:
+        import dataclasses
+
+        # Long-context rows (fused only): the macro-resident causal tier
+        # end-to-end, and Mistral-style SWA training through the KV-slab
+        # macro backward — wall-clock should scale with the window past the
+        # full-causal crossover, not with N².
+        bench_one(cfg, 1, 8192, "fused", args.iters)
+        swa = dataclasses.replace(cfg, sliding_window=2048)
+        bench_one(swa, 1, 8192, "fused", args.iters)
+        # 16k needs block remat: stored activations alone exceed the 16 GB
+        # chip (peak 12.2 GB at 8k) — the long-context memory lever.
+        swa_r = dataclasses.replace(swa, remat=True)
+        bench_one(swa_r, 1, 16384, "fused", args.iters)
 
 
 if __name__ == "__main__":

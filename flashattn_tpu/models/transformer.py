@@ -49,6 +49,11 @@ class TransformerConfig:
     sliding_window: int | None = None
     # Gemma-2-style logit soft-capping (None = off)
     logit_softcap: float | None = None
+    # Rematerialize each transformer block in the backward (jax.checkpoint):
+    # activations are recomputed instead of stored, trading ~33% more FLOPs
+    # for O(layers) less HBM — the standard long-context training lever
+    # (SURVEY §7 "checkpoint/remat"). Off by default (short sequences fit).
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
 
@@ -172,9 +177,14 @@ def transformer_forward(params, tokens, cfg: TransformerConfig,
             logit_softcap=cfg.logit_softcap,
         )
 
-    for layer in params["layers"]:
+    def block(layer, x):
         x = _attention_block(layer, x, positions, cfg, attn)
-        x = _mlp_block(layer, x)
+        return _mlp_block(layer, x)
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        x = block(layer, x)
     x = _rms_norm(x, params["ln_f"])
     return jnp.einsum("bnd,vd->bnv", x, params["embed"]).astype(jnp.float32)
 

@@ -372,3 +372,25 @@ def test_sdxl_shape_class():
                        cfg)
     assert eps.shape == (1, 16, 16, 4)
     assert bool(jnp.all(jnp.isfinite(eps)))
+
+
+def test_remat_same_loss_and_grads():
+    """cfg.remat=True must be numerically identical to the stored-activation
+    path (jax.checkpoint recomputes, never approximates)."""
+    import dataclasses
+
+    from flashattn_tpu.models.transformer import (
+        TransformerConfig, init_transformer, lm_loss)
+
+    cfg = TransformerConfig(vocab_size=128, d_model=64, n_layers=2,
+                            n_heads=4, n_kv_heads=2, d_head=16, d_ff=128,
+                            dtype=jnp.float32)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 65), 0, 128)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    l0, g0 = jax.value_and_grad(lambda p: lm_loss(p, tokens, cfg))(params)
+    l1, g1 = jax.value_and_grad(lambda p: lm_loss(p, tokens, cfg_r))(params)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
