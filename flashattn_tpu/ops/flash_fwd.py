@@ -748,12 +748,18 @@ _RC_PENDING_BUDGET = int(os.environ.get(
     "FLASHATTN_TPU_RC_PENDING_MB", 24)) * 1024 * 1024
 
 
-def _rc_geometry(Nqp):
+def _rc_geometry(Nqp, D=None):
     # Largest lane-aligned widths <= the defaults that divide the padded
     # sequence — N = 2560/3072/5120/7168 would otherwise fall off the
     # resident route only because 2048 doesn't divide them.
-    sub_q_pref = (int(_RC_SUB_Q) if _RC_SUB_Q
-                  else (256 if Nqp <= 5120 else 512))
+    # 128 < D <= 192 (the lane-padded D=160 class): 128-row chains measured
+    # 66.0 vs 59.2 TF at causal N=4096 D=160 (r4 — the fat padded rows make
+    # 256-row score tiles VMEM-heavy, and shorter chains interleave better).
+    if D is not None and 128 < D <= 192 and not _RC_SUB_Q:
+        sub_q_pref = 128
+    else:
+        sub_q_pref = (int(_RC_SUB_Q) if _RC_SUB_Q
+                      else (256 if Nqp <= 5120 else 512))
     sub_q = min(sub_q_pref, Nqp)
     while sub_q > NUM_LANES and (Nqp % sub_q or sub_q % NUM_LANES):
         sub_q -= NUM_LANES
@@ -1110,7 +1116,7 @@ def fwd_padded(
         and kv_splits == 1 and q_splits >= 2
         and (block_q // q_splits) % NUM_LANES == 0)
 
-    rc_sub_q, rc_sub_k = _rc_geometry(Nqp)
+    rc_sub_q, rc_sub_k = _rc_geometry(Nqp, D)
     if _use_resident_causal(
             causal=causal, window=window, need_tail_mask=need_tail_mask,
             bias=bias, k_scale=k_scale, v_scale=v_scale,
