@@ -82,6 +82,48 @@ def enable_compilation_cache(
     return cache_dir
 
 
+_warm_thread = None
+
+
+def start_transfer_warmup() -> None:
+    """Kick the first device→host transfer of this process in a background
+    thread.
+
+    On the tunneled remote-TPU backend the FIRST readback of a process can
+    stall for minutes (measured 4 s to >600 s on the same code — a
+    remote-side chip-claim/tunnel condition, not a property of the program;
+    `block_until_ready` returns early on this backend so only a real
+    readback forces the wait). Every later transfer in the process is fast.
+    Starting a tiny throwaway fetch here lets the stall elapse CONCURRENTLY
+    with compiles and on-device work; call :func:`join_transfer_warmup`
+    before the first latency-sensitive readback (timing fetches, numerics
+    gates)."""
+    global _warm_thread
+    if _warm_thread is not None:
+        return
+    import threading
+
+    import jax.numpy as jnp
+
+    x = jnp.zeros((8, 128), jnp.float32).sum()
+
+    def _fetch():
+        try:
+            float(x)
+        except Exception:
+            pass
+
+    _warm_thread = threading.Thread(target=_fetch, daemon=True)
+    _warm_thread.start()
+
+
+def join_transfer_warmup(timeout: float | None = None) -> None:
+    """Wait for :func:`start_transfer_warmup`'s fetch (no-op if never
+    started)."""
+    if _warm_thread is not None:
+        _warm_thread.join(timeout=timeout)
+
+
 _io_callback_patched = False
 
 
