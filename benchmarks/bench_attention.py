@@ -90,7 +90,91 @@ def xla_sdpa(q, k, v, causal, layout="BHND"):
     return attention_reference(q, k, v, causal=causal)
 
 
-def jax_pallas_fa(q, k, v, causal, layout="BHND"):
+# ── vendor-baseline tuning ──────────────────────────────────────────────────
+# The reference's third-party arms are TUNED: its Triton kernel ships an
+# autotune config space (triton_fused_attention.py:83-97, AMD waves_per_eu
+# :453-456) and CK is a prebuilt optimized binary. The vendor Pallas flash
+# attention defaults to 128-blocks (BlockSizes.get_default — "TODO: select
+# better parameters"), which posts ~9.5 TF at D=64 — an unfair strawman
+# (VERDICT r4 missing #1). We autotune its block sizes over a small config
+# space per shape class and persist the winners; every jaxfa row reports its
+# best config.
+
+_JAXFA_TUNE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "results", "jaxfa_tuned.json")
+_JAXFA_CANDS = [128, 256, 512, 1024]  # square block_q = block_k candidates
+_jaxfa_tuned: dict | None = None
+
+
+def _jaxfa_tuned_cache() -> dict:
+    global _jaxfa_tuned
+    if _jaxfa_tuned is None:
+        try:
+            with open(_JAXFA_TUNE_FILE) as f:
+                _jaxfa_tuned = json.load(f)
+        except Exception:
+            _jaxfa_tuned = {}
+    return _jaxfa_tuned
+
+
+def _jaxfa_blocks(N, D, bs):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq = bk = min(bs, N)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+
+
+def tune_jaxfa(B, H, N, D, *, causal, mode, dtype=jnp.bfloat16):
+    """One-time autotune of the vendor arm's BlockSizes for a shape
+    (persisted in results/jaxfa_tuned.json; the Triton-autotune role)."""
+    key = f"N{N}_D{D}_c{int(causal)}_{mode}"
+    cache = _jaxfa_tuned_cache()
+    if key in cache:
+        return
+    from flashattn_tpu.utils.timing import time_chained_stats
+
+    q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
+    best, best_t = None, None
+    for bs in _JAXFA_CANDS:
+        if bs > N:
+            continue
+        try:
+            fn = functools.partial(_jaxfa_with_blocks, bs=bs)
+            if mode == "fwd":
+                step = lambda qq, kk, vv: fn(qq, kk, vv, causal, "BHND")
+            else:
+                def step(qq, kk, vv):
+                    dq, dk, dv = jax.grad(
+                        lambda x, k2, v2: fn(x, k2, v2, causal, "BHND")
+                        .astype(jnp.float32).sum(), argnums=(0, 1, 2)
+                    )(qq, kk, vv)
+                    return qq + 1e-30 * dq + (
+                        1e-30 * (dk.astype(jnp.float32).sum()
+                                 + dv.astype(jnp.float32).sum())
+                    ).astype(qq.dtype)
+            t = time_chained_stats(step, q, consts=(k, v), iters=8,
+                                   warmup_iters=2, repeats=3)["per_iter"]
+        except Exception as e:  # config doesn't compile/fit — skip
+            print(json.dumps({"jaxfa_tune": key, "bs": bs,
+                              "error": type(e).__name__}), flush=True)
+            continue
+        print(json.dumps({"jaxfa_tune": key, "bs": bs,
+                          "per_iter_ms": round(t * 1e3, 4)}), flush=True)
+        if best_t is None or t < best_t:
+            best, best_t = bs, t
+    if best is not None:
+        cache[key] = {"block": best, "per_iter_s": best_t}
+        try:
+            with open(_JAXFA_TUNE_FILE, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+
+
+def _jaxfa_with_blocks(q, k, v, causal, layout="BHND", bs=None):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention as jfa,
     )
@@ -98,8 +182,31 @@ def jax_pallas_fa(q, k, v, causal, layout="BHND"):
     sm = q.shape[-1] ** -0.5  # jfa defaults sm_scale=1.0, oracle uses D^-0.5
     if layout == "BNHD":
         q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
-        return jfa(q, k, v, causal=causal, sm_scale=sm).swapaxes(1, 2)
-    return jfa(q, k, v, causal=causal, sm_scale=sm)
+        o = _jaxfa_with_blocks(q, k, v, causal, "BHND", bs=bs)
+        return o.swapaxes(1, 2)
+    blocks = _jaxfa_blocks(q.shape[2], q.shape[3], bs) if bs else None
+    return jfa(q, k, v, causal=causal, sm_scale=sm, block_sizes=blocks)
+
+
+def jax_pallas_fa(q, k, v, causal, layout="BHND"):
+    """Vendor arm at its TUNED block sizes (falls back to its defaults when
+    no tuned entry exists for the shape)."""
+    nax = 2 if layout == "BHND" else 1
+    N, D = q.shape[nax], q.shape[3]
+    cache = _jaxfa_tuned_cache()
+    # mode-specific entries share the fwd kernel config; prefer fwd_bwd's
+    # tuned block when timing fwd_bwd (bench_one tunes per mode first).
+    bs = None
+    for key in (f"N{N}_D{D}_c{int(causal)}_{_JAXFA_MODE[0]}",
+                f"N{N}_D{D}_c{int(causal)}_fwd",
+                f"N{N}_D{D}_c{int(causal)}_fwd_bwd"):
+        if key in cache:
+            bs = cache[key]["block"]
+            break
+    return _jaxfa_with_blocks(q, k, v, causal, layout, bs=bs)
+
+
+_JAXFA_MODE = ["fwd"]  # set by bench_one so jax_pallas_fa picks the right key
 
 
 def ours(q, k, v, causal, layout="BHND", window=None):
@@ -135,6 +242,14 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
               iters=32, layout="BHND", window=None):
     fn = IMPLS[impl_name]
     kw = {"window": window} if window is not None else {}
+    if impl_name == "jaxfa":
+        _JAXFA_MODE[0] = mode
+        if os.environ.get("FLASHATTN_TPU_TUNE_JAXFA", "1") == "1":
+            try:
+                tune_jaxfa(B, H, N, D, causal=causal, mode=mode, dtype=dtype)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"jaxfa_tune_error": type(e).__name__}),
+                      flush=True)
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
     if layout == "BNHD":  # arrays physically stored [B, N, H, D]
         q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
@@ -188,6 +303,9 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
             rec["mfu"] = round(tflops / roofline, 3)
     if window is not None:
         rec["window"] = list(window)
+    if impl_name == "jaxfa":
+        ent = _jaxfa_tuned_cache().get(f"N{N}_D{D}_c{int(causal)}_{mode}")
+        rec["tuned_block"] = ent["block"] if ent else "default"
     print(json.dumps(rec), flush=True)
     if roofline is not None and tflops > roofline:
         # a row above the same-session roofline is a measurement bug, not

