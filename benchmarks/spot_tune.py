@@ -326,6 +326,43 @@ MATRICES = {
         ("d160-fwdbwd", "fwd_bwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0},
          4096, 160),
     ],
+    # r5 (VERDICT r4 #2): measured bwd MXU-only ceiling — same 5-dot
+    # dataflow, VPU softmax chain skipped (FLASHATTN_TPU_BWD_NOVPU; timing
+    # only, numerics garbage). bwd ceiling = 5·fpm/(t_novpu − t_fwd).
+    "d64ceil": [
+        ("fwd-c-d64", "fwd", {}, 4096, 64),
+        ("base-c-d64", "fwd_bwd", {}, 4096, 64),
+        ("novpu-c-d64", "fwd_bwd", {"FLASHATTN_TPU_BWD_NOVPU": 1},
+         4096, 64),
+        ("base-nc-d64", "fwd_bwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0},
+         4096, 64),
+        ("novpu-nc-d64", "fwd_bwd", {"FLASHATTN_TPU_TUNE_CAUSAL": 0,
+                                     "FLASHATTN_TPU_BWD_NOVPU": 1},
+         4096, 64),
+        ("novpu-c-d128", "fwd_bwd", {"FLASHATTN_TPU_BWD_NOVPU": 1},
+         4096, 128),
+        # untried structural lever: resident bwd forced onto 4096 at D=64
+        ("rbforce-c-d64", "fwd_bwd", {"FLASHATTN_TPU_RB_FORCE": 1},
+         4096, 64),
+        ("rbforce-tri128", "fwd_bwd", {"FLASHATTN_TPU_RB_FORCE": 1,
+                                       "FLASHATTN_TPU_RB_TRI": 128},
+         4096, 64),
+    ],
+    # r5 (VERDICT r4 #3): causal fwd D=160 outlier — 79.5 TF vs 95
+    # noncausal. Resident chain geometry × the flat-grid alternative.
+    "d160c": [
+        ("d160c-default", "fwd", {}, 4096, 160),
+        ("d160c-subq256", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 256}, 4096, 160),
+        ("d160c-subq512", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 512}, 4096, 160),
+        ("d160c-subk1024", "fwd", {"FLASHATTN_TPU_RC_SUBK": 1024},
+         4096, 160),
+        ("d160c-subq256-subk1024", "fwd", {"FLASHATTN_TPU_RC_SUBQ": 256,
+                                           "FLASHATTN_TPU_RC_SUBK": 1024},
+         4096, 160),
+        ("d160c-flat", "fwd", {"FLASHATTN_TPU_RC_MAXN": 0,
+                               "FLASHATTN_TPU_MACRO": 0}, 4096, 160),
+        ("d160c-fwdbwd-default", "fwd_bwd", {}, 4096, 160),
+    ],
 }
 
 

@@ -443,7 +443,7 @@ _UNALIGNED_UNIT = 1024  # main-portion granularity of the unaligned split
 
 
 def _can_decompose_unaligned(*, causal, window, bias, seg, Nq, Nk, bq, bk,
-                             kv_valid_len):
+                             kv_valid_len, D=64):
     """Unaligned-N decomposition eligibility (see
     :func:`_fwd_unaligned_decomposed`). Noncausal unmasked attention only:
     rows are independent and column partials merge exactly on LSEs, so the
@@ -457,6 +457,12 @@ def _can_decompose_unaligned(*, causal, window, bias, seg, Nq, Nk, bq, bk,
     if qm < _UNALIGNED_UNIT or km < _UNALIGNED_UNIT:
         return False
     if Nq == qm and Nk == km:
+        return False
+    # The tail calls cost ~3 µs of pipeline floor per grid step (~0.15 ms
+    # at H=24 even with step-minimized tail blocks — r5 spot_call_overhead):
+    # below ~0.2 ms of main-call MXU work the floors eat the win and the
+    # flat padded launch is faster despite its dead area.
+    if Nq * Nk * D < 2 * 10**8:
         return False
     # Only when the flat launch would execute ≥15% dead area (r5 measured:
     # N=4097 D=64 padded to 5120² — 1.56× area, 44 vs 94 TFLOP/s equal-work).
@@ -493,18 +499,57 @@ def _fwd_unaligned_decomposed(q, k, v, *, scale, offsets, interpret,
     km = Nk // _UNALIGNED_UNIT * _UNALIGNED_UNIT
     qt, kt = Nq - qm, Nk - km
 
-    def run(qs, ks, vs, need_lse):
-        blocks = choose_block_sizes(qs.shape[2], ks.shape[2], D, qs.dtype,
-                                    False, False)
+    def tail_block(n, cap):
+        """Largest 128-multiple block ≤ cap that divides round_up(n, 128):
+        each grid step pays a ~3 µs pipeline floor (spot_call_overhead, r5:
+        a 4096×128 tail at policy blocks was 48 steps = 0.148 ms for ~0.01
+        ms of compute), so tail launches minimize steps, not tile shape."""
+        n128 = _round_up(n, 128)
+        p = -(-n128 // cap)
+        while n128 % (p * 128):
+            p += 1
+        return n128 // p
+
+    def run(qs, ks, vs, need_lse, tail=False):
+        nq_s, nk_s = qs.shape[2], ks.shape[2]
+        if tail and nq_s * nk_s <= 4 * 1024 * 1024:
+            # Small tails in plain XLA: a kernel launch lane-pads the tail
+            # to 128 columns and runs mask+exp over the whole padded tile
+            # (r5 trace: 175 µs for a 1-live-column KV tail + ~60 µs of
+            # pad/slice glue); an einsum-softmax over the UNPADDED tail
+            # fuses into the merge and costs its true O(rows·cols) work.
+            # f32 throughout — the tail is exact, only the main call
+            # rounds.
+            rep = Hq // ks.shape[1]
+            ke = jnp.repeat(ks, rep, axis=1) if rep > 1 else ks
+            ve = jnp.repeat(vs, rep, axis=1) if rep > 1 else vs
+            s = jnp.einsum("bhnd,bhmd->bhnm", qs.astype(jnp.float32),
+                           ke.astype(jnp.float32)) * scale
+            if softcap is not None:
+                s = softcap * jnp.tanh(s / softcap)
+            lse_t = jax.scipy.special.logsumexp(s, axis=-1)
+            o_t = jnp.einsum("bhnm,bhmd->bhnd",
+                             jnp.exp(s - lse_t[..., None]),
+                             ve.astype(jnp.float32))
+            return o_t.astype(qs.dtype), lse_t
+        if tail:
+            # Step-minimized tail blocks under an 8 MB f32 score-tile cap.
+            bq_t = tail_block(nq_s, 4096)
+            bk_t = tail_block(nk_s, max(512, 2 * 1024 * 1024 // bq_t))
+            blocks = BlockSizes(block_q=bq_t, block_k=bk_t)
+        else:
+            blocks = choose_block_sizes(nq_s, nk_s, D, qs.dtype,
+                                        False, False)
         return _flash_core_fwd_impl(
-            qs, ks, vs, None, offsets, scale, False, blocks, ks.shape[2],
+            qs, ks, vs, None, offsets, scale, False, blocks, nk_s,
             interpret, return_lse=need_lse, static_offsets=(0, 0),
             softcap=softcap)
 
     o_mm, lse_mm = run(q[:, :, :qm], k[:, :, :km], v[:, :, :km],
                        return_lse or kt > 0)
     if kt:
-        o_mt, lse_mt = run(q[:, :, :qm], k[:, :, km:], v[:, :, km:], True)
+        o_mt, lse_mt = run(q[:, :, :qm], k[:, :, km:], v[:, :, km:], True,
+                           tail=True)
         lse_m = jnp.logaddexp(lse_mm, lse_mt)
         o_m = (o_mm.astype(jnp.float32) * jnp.exp(lse_mm - lse_m)[..., None]
                + o_mt.astype(jnp.float32)
@@ -512,7 +557,7 @@ def _fwd_unaligned_decomposed(q, k, v, *, scale, offsets, interpret,
     else:
         o_m, lse_m = o_mm, lse_mm
     if qt:
-        o_t, lse_t = run(q[:, :, qm:], k, v, return_lse)
+        o_t, lse_t = run(q[:, :, qm:], k, v, return_lse, tail=True)
         o = jnp.concatenate([o_m, o_t], axis=2)
         lse = (jnp.concatenate([lse_m, lse_t], axis=2) if return_lse
                else None)
@@ -530,7 +575,7 @@ def _flash_core_fwd_impl(q, k, v, bias, offsets, scale, causal, blocks,
     bq, bk = blocks.block_q, blocks.block_k
     if _can_decompose_unaligned(
             causal=causal, window=window, bias=bias, seg=seg_q,
-            Nq=Nq, Nk=Nk, bq=bq, bk=bk, kv_valid_len=kv_valid_len):
+            Nq=Nq, Nk=Nk, bq=bq, bk=bk, kv_valid_len=kv_valid_len, D=D):
         return _fwd_unaligned_decomposed(
             q, k, v, scale=scale, offsets=offsets, interpret=interpret,
             return_lse=return_lse, softcap=softcap)

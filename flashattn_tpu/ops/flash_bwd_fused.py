@@ -216,13 +216,18 @@ def _bwd_fused_kernel(
                 s2 = jnp.where(mask, s2, mask_value)
             # p = exp(S·scale − lse) computed in the exp2 domain (scale·log2e
             # folded into q2 / lse2 by the host wrapper).
-            p = jnp.exp2(s2 - lse2_ref[0, 0, :, :1])
+            if _BWD_NOVPU:
+                p = s2 * 1e-4  # timing probe: no exp2, keep the dataflow
+            else:
+                p = jnp.exp2(s2 - lse2_ref[0, 0, :, :1])
             # dV += P^T · dO   (reference kernel_fp16.cu:724)
             dv_scr[cols, :] += jax.lax.dot_general(
                 p.astype(mmd), do, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
-            ds = p * (dp - delta_ref[0, 0, :, :1])
-            ds = ds.astype(mmd)
+            if _BWD_NOVPU:
+                ds = (dp * 1e-4).astype(mmd)
+            else:
+                ds = (p * (dp - delta_ref[0, 0, :, :1])).astype(mmd)
             # dK += dS^T · Q  — q2 carries scale·log2e, so ×ln2 at store
             # gives the symmetric ·scale (fixes reference quirk 1,
             # kernel_fp16.cu:737)
@@ -291,12 +296,16 @@ def _bwd_fused_kernel(
                 dmat = (jax.lax.broadcasted_iota(jnp.int32, (sz, sz), 1)
                         - jax.lax.broadcasted_iota(jnp.int32, (sz, sz), 0))
                 s2 = jnp.where(dmat <= 0, s2, mask_value)
-            p = jnp.exp2(s2 - lse2_ref[0, 0, rsl, :1])
+            if _BWD_NOVPU:
+                p = s2 * 1e-4
+                ds = (dp * 1e-4).astype(mmd)
+            else:
+                p = jnp.exp2(s2 - lse2_ref[0, 0, rsl, :1])
+                ds = (p * (dp - delta_ref[0, 0, rsl, :1])).astype(mmd)
             dv_scr[c0:c0 + sz, :] += jax.lax.dot_general(
                 p.astype(mmd), doc,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
-            ds = (p * (dp - delta_ref[0, 0, rsl, :1])).astype(mmd)
             dk_scr[c0:c0 + sz, :] += jax.lax.dot_general(
                 ds, q2_ref[0, 0, rsl, :],
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -558,6 +567,15 @@ _TRI_LOOKAHEAD = max(1, int(os.environ.get("FLASHATTN_TPU_TRI_LA", 2)))
 _BWD_KV_SPLITS = max(1, int(os.environ.get("FLASHATTN_TPU_BWD_KVS", 1)))
 _RB_TRI = os.environ.get("FLASHATTN_TPU_RB_TRI")
 _RB_LOOKAHEAD = int(os.environ.get("FLASHATTN_TPU_RB_LOOKAHEAD", 1))
+# Measurement-only mode: skip the VPU softmax-recompute chain (p = s2,
+# dS = dP, no exp2/mask) so the kernel times the PURE 5-dot MXU dataflow at
+# the real tiles/grid — the measured bwd ceiling the D=64 accounting divides
+# by (VERDICT r4 missing #2). Numerics are garbage by design; never set
+# outside spot_tune-style probes.
+_BWD_NOVPU = os.environ.get("FLASHATTN_TPU_BWD_NOVPU", "0") == "1"
+# Tuning override: route 2048-multiple causal shapes onto the resident bwd
+# (normally excluded — the wide-tile flat path measured faster there, r3).
+_RB_FORCE = os.environ.get("FLASHATTN_TPU_RB_FORCE", "0") == "1"
 
 
 def _rb_geometry(Nqp):
@@ -592,7 +610,8 @@ def _use_resident_bwd(*, causal, window, static_offsets, Nqp, Nkp, sub):
         # pair, while the flat path's window-edge pairs run fully masked at
         # full width (r3: 2048² flat measured 4.76 ms vs ~2.4 expected at
         # window=2048 N=4096).
-        and (Nqp % 2048 != 0 or Nqp < 2048 or window is not None)
+        and (Nqp % 2048 != 0 or Nqp < 2048 or window is not None
+             or _RB_FORCE)
         and Nqp % sub == 0
     )
 
