@@ -42,6 +42,10 @@ def child(mode, B, H, N, D):
     q, k, v = make_qkv(jax.random.PRNGKey(0), B, H, N, D, dtype=dtype)
 
     causal = os.environ.get("FLASHATTN_TPU_TUNE_CAUSAL", "1") == "1"
+    win_env = os.environ.get("FLASHATTN_TPU_TUNE_WINDOW")
+    window = (int(win_env) - 1, 0) if win_env else None
+    if window is not None:
+        causal = False  # the sweep convention: window=(w-1, 0), causal off
     bs = None
     if os.environ.get("FLASHATTN_TPU_BQ") or os.environ.get(
             "FLASHATTN_TPU_BK"):
@@ -76,12 +80,13 @@ def child(mode, B, H, N, D):
     if mode == "fwd":
         def step(qq, kk, vv):
             return flash_attention(qq, kk, vv, causal=causal,
-                                   block_sizes=bs)
+                                   block_sizes=bs, window=window)
     else:
         def step(qq, kk, vv):
             dq, dk, dv = jax.grad(
                 lambda a, b, c: (flash_attention(a, b, c, causal=causal,
-                                                 block_sizes=bs)
+                                                 block_sizes=bs,
+                                                 window=window)
                                  .astype(jnp.float32) ** 2).sum(),
                 (0, 1, 2))(qq, kk, vv)
             return (qq + 1e-30 * (dq + dk.astype(qq.dtype)
@@ -90,7 +95,8 @@ def child(mode, B, H, N, D):
     stats = time_chained_stats(step, q, consts=(k, v), iters=16,
                                warmup_iters=4, repeats=5)
     t = stats["per_iter"]
-    fl = attention_flops(B, H, N, N, D, causal=causal, mode=mode)
+    fl = attention_flops(B, H, N, N, D, causal=causal, mode=mode,
+                         window=window)
     print(json.dumps({
         "mode": mode, "B": B, "H": H, "N": N, "D": D, "causal": causal,
         "ms": round(t * 1e3, 4), "tflops": round(fl / t / 1e12, 2),
@@ -347,6 +353,26 @@ MATRICES = {
         ("rbforce-tri128", "fwd_bwd", {"FLASHATTN_TPU_RB_FORCE": 1,
                                        "FLASHATTN_TPU_RB_TRI": 128},
          4096, 64),
+    ],
+    # r5 (VERDICT r4 #5): windowed fwd+bwd decays 119→100 TF band-area
+    # from N=8k to 32k — the KV-slab macro bwd pays a per-slab cost the fwd
+    # tier doesn't. Wider slabs at long N + dQ-partial layout.
+    "win32k": [
+        ("w32k-default", "fwd_bwd", {"FLASHATTN_TPU_TUNE_WINDOW": 2048},
+         32768, 128),
+        ("w32k-cols4096", "fwd_bwd", {"FLASHATTN_TPU_TUNE_WINDOW": 2048,
+                                      "FLASHATTN_TPU_MACRO_BWD_COLS": 4096},
+         32768, 128),
+        ("w32k-cols8192", "fwd_bwd", {"FLASHATTN_TPU_TUNE_WINDOW": 2048,
+                                      "FLASHATTN_TPU_MACRO_BWD_COLS": 8192},
+         32768, 128),
+        ("w32k-cols4096-sub1024", "fwd_bwd", {
+            "FLASHATTN_TPU_TUNE_WINDOW": 2048,
+            "FLASHATTN_TPU_MACRO_BWD_COLS": 4096,
+            "FLASHATTN_TPU_MACRO_BWD_SUB": 1024}, 32768, 128),
+        ("w16k-cols4096", "fwd_bwd", {"FLASHATTN_TPU_TUNE_WINDOW": 2048,
+                                      "FLASHATTN_TPU_MACRO_BWD_COLS": 4096},
+         16384, 128),
     ],
     # r5 (VERDICT r4 #3): causal fwd D=160 outlier — 79.5 TF vs 95
     # noncausal. Resident chain geometry × the flat-grid alternative.

@@ -39,13 +39,21 @@ no RDMA can race a device that has not entered the kernel yet.
 
 Validated on the virtual CPU mesh via the Mosaic TPU interpreter
 (``pltpu.InterpretParams``), including its cross-device race detector —
-the "race detection" practice SURVEY.md §5 calls for. The backward pass
-reuses the ppermute ring backward (ring.py) through ``jax.custom_vjp``.
+the "race detection" practice SURVEY.md §5 calls for.
+
+The BACKWARD also runs in-kernel (r5): the rotation additionally carries
+the f32 (dK, dV) accumulator pair — the K/V payload still rotates ahead of
+the compute (overlapped), while the accumulators, written by each step,
+rotate between steps and take ONE extra hop at the end to return to their
+owner (see ``_ring_bwd_kernel``). dQ accumulates locally in HBM f32. Set
+``FLASHATTN_TPU_RING_BWD_KERNEL=0`` to fall back to the ppermute ring
+backward (ring.py).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -378,6 +386,415 @@ def _finalize_tile(b, h, qt, o_hbm, lse_hbm, ot_buf, lse_buf, m_scr, l_scr,
     cl.wait()
 
 
+def _ring_bwd_kernel(
+    q2_hbm,     # ANY [B, Hq, nq, D]   (q pre-scaled by scale*log2e)
+    k_hbm,      # ANY [B, Hkv, nk, D]
+    v_hbm,      # ANY [B, Hkv, nk, D]
+    do_hbm,     # ANY [B, Hq, nq, D]
+    lse2_hbm,   # ANY [B, Hq, nq, NUM_LANES] f32 (lse·log2e, lane-replicated)
+    delta_hbm,  # ANY [B, Hq, nq, NUM_LANES] f32
+    dq_hbm,     # ANY [B, Hq, nq, D] f32 out (accumulated across steps)
+    dk_hbm,     # ANY [B, Hkv, nk, D] f32 out
+    dv_hbm,     # ANY [B, Hkv, nk, D] f32 out
+    kv_slots,   # ANY [2, 2, B, Hkv, nk, D] dtype — rotating K/V
+    dkv_slots,  # ANY [2, 2, B, Hkv, nk, D] f32 — rotating dK/dV accumulators
+    qt_buf,     # VMEM (bq, D) dtype
+    dot_buf,    # VMEM (bq, D) dtype — dO tile
+    kc,         # VMEM (nk, D) dtype
+    vc,         # VMEM (nk, D) dtype
+    dkc,        # VMEM (nk, D) f32
+    dvc,        # VMEM (nk, D) f32
+    dq_buf,     # VMEM (bq, D) f32
+    lse_buf,    # VMEM (bq, NUM_LANES) f32
+    dl_buf,     # VMEM (bq, NUM_LANES) f32
+    copy_sems,  # DMA (6,)
+    send_sems,  # DMA (2,) — kv / dkv outgoing
+    recv_kv_sems,   # DMA (2,) — per landing slot
+    recv_dkv_sems,  # DMA (2,)
+    cap_sem,    # REGULAR
+    *,
+    axis_name: str,
+    n_dev: int,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    window: tuple[int, int] | None = None,
+):
+    """Ring-attention backward with in-kernel RDMA rotation (the r4 VERDICT
+    stretch: training gets the same structural overlap as the forward).
+
+    Rotation carries FOUR buffers: the K/V chunk (read-only — its RDMA is
+    issued BEFORE the step's compute, fully overlapped like the forward)
+    and the f32 (dK, dV) accumulator pair, which this step WRITES and can
+    therefore only be sent after the step's accumulation — that send sits
+    between steps (bounded by 2·B·Hkv·nk·D·4 bytes over ICI). dQ
+    accumulates locally in HBM f32 (read-modify-write per q tile, the same
+    pattern as the forward's unnormalized O).
+
+    After the last compute step (s = n_dev−1) the accumulator residing
+    here belongs to our RIGHT neighbor's chunk (src = my−(n_dev−1) ≡
+    my+1), so ONE final dkv hop rightward returns every accumulator to its
+    owner, which stores dK = acc·ln2 (q2 carries scale·log2e — the
+    symmetric scaling of the fused bwd, reference quirk 1 fixed) and dV.
+
+    Grid is (n_dev + 1,): steps 0..n_dev−1 compute; step n_dev does the
+    final hop + store. Capacity accounting (one cap_sem, must balance at
+    exit): signals = bootstrap 1 + one per step s < n_dev−1; waits = one
+    per send (steps 0..n_dev−2 and the final hop) — both n_dev.
+    """
+    B, Hq, nq, D = q2_hbm.shape
+    Hkv, nk = k_hbm.shape[1], k_hbm.shape[2]
+    rep = Hq // Hkv
+    nqt = nq // block_q
+    dtype = q2_hbm.dtype
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+    s = pl.program_id(0)
+    my = jax.lax.axis_index(axis_name)
+    slot = jax.lax.rem(s, 2)
+    if n_dev > 1:
+        right = jax.lax.rem(my + 1, n_dev)
+        left = jax.lax.rem(my + n_dev - 1, n_dev)
+
+    # ---- step 0: stage local KV into slot 0, zero dkv, barrier ----
+    @pl.when(s == 0)
+    def _bootstrap():
+        ck = pltpu.make_async_copy(k_hbm, kv_slots.at[0, 0], copy_sems.at[0])
+        cv = pltpu.make_async_copy(v_hbm, kv_slots.at[0, 1], copy_sems.at[1])
+        ck.start()
+        cv.start()
+        ck.wait()
+        cv.wait()
+
+        # zero the slot-0 dkv accumulators (VMEM-bounced per (b, hkv))
+        def zero_bh(i, carry):
+            b = i // Hkv
+            hkv = jax.lax.rem(i, Hkv)
+            dkc[...] = jnp.zeros_like(dkc)
+            for buf in (0, 1):
+                cz = pltpu.make_async_copy(
+                    dkc, dkv_slots.at[0, buf, b, hkv], copy_sems.at[2])
+                cz.start()
+                cz.wait()
+            return carry
+
+        jax.lax.fori_loop(0, B * Hkv, zero_bh, 0)
+        if n_dev > 1:
+            barrier = pltpu.get_barrier_semaphore()
+            for nbr in (left, right):
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=nbr,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(barrier, 2)
+            pltpu.semaphore_signal(
+                cap_sem, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    def _kv_rdma():
+        return pltpu.make_async_remote_copy(
+            src_ref=kv_slots.at[slot],
+            dst_ref=kv_slots.at[1 - slot],
+            send_sem=send_sems.at[0],
+            recv_sem=recv_kv_sems.at[1 - slot],
+            device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def _dkv_rdma():
+        return pltpu.make_async_remote_copy(
+            src_ref=dkv_slots.at[slot],
+            dst_ref=dkv_slots.at[1 - slot],
+            send_sem=send_sems.at[1],
+            recv_sem=recv_dkv_sems.at[1 - slot],
+            device_id=right,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    compute_step = s < n_dev
+    if n_dev > 1:
+        # kv chunk is read-only: rotate it DURING this step's compute
+        @pl.when(s < n_dev - 1)
+        def _send_kv():
+            pltpu.semaphore_wait(cap_sem, 1)
+            _kv_rdma().start()
+
+    # ---- compute: this chunk's dkv contributions + local dq ----
+    src_dev = jax.lax.rem(my - s + n_dev, n_dev)
+    kv_off = src_dev * nk
+    q_base = my * nq
+    is_first = s == 0
+    wl, wr = window if window is not None else (-1, -1)
+    live = None
+    if causal or (wr >= 0 and not causal):
+        wr_eff = 0 if causal else wr
+        live = kv_off <= q_base + nq - 1 + wr_eff
+    if wl >= 0:
+        left_ok = kv_off + nk - 1 >= q_base - wl
+        live = left_ok if live is None else jnp.logical_and(live, left_ok)
+    run = (compute_step if live is None
+           else jnp.logical_and(compute_step, live))
+
+    @pl.when(run)
+    def _compute():
+        def per_bh(i, carry):
+            b = i // Hkv
+            hkv = jax.lax.rem(i, Hkv)
+            ck = pltpu.make_async_copy(
+                kv_slots.at[slot, 0, b, hkv], kc, copy_sems.at[0])
+            cv = pltpu.make_async_copy(
+                kv_slots.at[slot, 1, b, hkv], vc, copy_sems.at[1])
+            cdk = pltpu.make_async_copy(
+                dkv_slots.at[slot, 0, b, hkv], dkc, copy_sems.at[2])
+            cdv = pltpu.make_async_copy(
+                dkv_slots.at[slot, 1, b, hkv], dvc, copy_sems.at[3])
+            ck.start()
+            cv.start()
+            cdk.start()
+            cdv.start()
+            ck.wait()
+            cv.wait()
+            cdk.wait()
+            cdv.wait()
+
+            def per_tile(t, carry2):
+                hr = t // nqt
+                qt = jax.lax.rem(t, nqt)
+                h = hkv * rep + hr
+                rows = qt * block_q
+                cq = pltpu.make_async_copy(
+                    q2_hbm.at[b, h, pl.ds(rows, block_q), :], qt_buf,
+                    copy_sems.at[4])
+                cdo = pltpu.make_async_copy(
+                    do_hbm.at[b, h, pl.ds(rows, block_q), :], dot_buf,
+                    copy_sems.at[5])
+                cl = pltpu.make_async_copy(
+                    lse2_hbm.at[b, h, pl.ds(rows, block_q), :], lse_buf,
+                    copy_sems.at[4])
+                cdl = pltpu.make_async_copy(
+                    delta_hbm.at[b, h, pl.ds(rows, block_q), :], dl_buf,
+                    copy_sems.at[5])
+                cq.start()
+                cdo.start()
+                cq.wait()
+                cdo.wait()
+                cl.start()
+                cdl.start()
+                cl.wait()
+                cdl.wait()
+                q2t = qt_buf[...]
+                dot = dot_buf[...]
+                lse2 = lse_buf[:, :1]
+                dlt = dl_buf[:, :1]
+                row_ids = (q_base + rows + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0))
+
+                dq_slice = dq_hbm.at[b, h, pl.ds(rows, block_q), :]
+
+                @pl.when(is_first)
+                def _init_dq():
+                    dq_buf[...] = jnp.zeros_like(dq_buf)
+
+                @pl.when(jnp.logical_not(is_first))
+                def _read_dq():
+                    cdq = pltpu.make_async_copy(dq_slice, dq_buf,
+                                                copy_sems.at[4])
+                    cdq.start()
+                    cdq.wait()
+
+                def kv_step(j, dq_acc):
+                    cols = pl.ds(j * block_k, block_k)
+                    k_j = kc[cols, :]
+                    v_j = vc[cols, :]
+                    s2 = jax.lax.dot_general(
+                        q2t, k_j, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+                    masked = causal or wl >= 0 or wr >= 0
+                    if masked:
+                        col_ids = (kv_off + j * block_k
+                                   + jax.lax.broadcasted_iota(
+                                       jnp.int32, (block_q, block_k), 1))
+                        keep = None
+                        if causal:
+                            keep = col_ids <= row_ids
+                        elif wr >= 0:
+                            keep = col_ids <= row_ids + wr
+                        if wl >= 0:
+                            lk = col_ids >= row_ids - wl
+                            keep = (lk if keep is None
+                                    else jnp.logical_and(keep, lk))
+                        s2 = jnp.where(keep, s2, DEFAULT_MASK_VALUE)
+                    # lse2 is in the log2 domain; dead rows (lse == the
+                    # finite dead sentinel) underflow p to exact 0.
+                    p = jnp.exp2(s2 - lse2)
+                    dp = jax.lax.dot_general(
+                        dot, v_j, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+                    ds = (p * (dp - dlt)).astype(dtype)
+                    dvc[cols, :] += jax.lax.dot_general(
+                        p.astype(dtype), dot,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+                    dkc[cols, :] += jax.lax.dot_general(
+                        ds, q2t, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+                    return dq_acc + jax.lax.dot_general(
+                        ds, k_j, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+
+                dq_new = jax.lax.fori_loop(0, nk // block_k, kv_step,
+                                           dq_buf[...])
+                dq_buf[...] = dq_new
+                cw = pltpu.make_async_copy(dq_buf, dq_slice, copy_sems.at[4])
+                cw.start()
+                cw.wait()
+                return carry2
+
+            jax.lax.fori_loop(0, rep * nqt, per_tile, carry)
+            # write the accumulated dkv back into the rotating slot
+            wdk = pltpu.make_async_copy(
+                dkc, dkv_slots.at[slot, 0, b, hkv], copy_sems.at[2])
+            wdv = pltpu.make_async_copy(
+                dvc, dkv_slots.at[slot, 1, b, hkv], copy_sems.at[3])
+            wdk.start()
+            wdv.start()
+            wdk.wait()
+            wdv.wait()
+            return carry
+
+        jax.lax.fori_loop(0, B * Hkv, per_bh, 0)
+
+    # dq tiles for band-dead chunks still need their step-0 zero-init
+    if live is not None:
+        @pl.when(jnp.logical_and(is_first, jnp.logical_not(live)))
+        def _zero_dq():
+            def zt(t, carry):
+                b = t // (Hq * nqt)
+                h = jax.lax.rem(t // nqt, Hq)
+                qt = jax.lax.rem(t, nqt)
+                dq_buf[...] = jnp.zeros_like(dq_buf)
+                cw = pltpu.make_async_copy(
+                    dq_buf,
+                    dq_hbm.at[b, h, pl.ds(qt * block_q, block_q), :],
+                    copy_sems.at[4])
+                cw.start()
+                cw.wait()
+                return carry
+
+            jax.lax.fori_loop(0, B * Hq * nqt, zt, 0)
+
+    if n_dev > 1:
+        # ---- close a compute step: rotate dkv AFTER accumulation ----
+        @pl.when(s < n_dev - 1)
+        def _close_step():
+            _dkv_rdma().start()
+            kv = _kv_rdma()
+            dkv = _dkv_rdma()
+            kv.wait_send()
+            dkv.wait_send()
+            pltpu.semaphore_signal(
+                cap_sem, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            kv.wait_recv()
+            dkv.wait_recv()
+
+        # ---- final hop: return each accumulator to its chunk's owner ----
+        @pl.when(s == n_dev - 1)
+        def _final_send():
+            pltpu.semaphore_wait(cap_sem, 1)
+            rdma = _dkv_rdma()
+            rdma.start()
+            rdma.wait_send()
+            rdma.wait_recv()
+
+    # ---- store: dkv slot[(n_dev) % 2] holds OUR chunk's gradients ----
+    @pl.when(s == (n_dev - 1 if n_dev == 1 else n_dev))
+    def _store():
+        final_slot = (n_dev - 1) % 2 if n_dev == 1 else n_dev % 2
+
+        def st(i, carry):
+            b = i // Hkv
+            hkv = jax.lax.rem(i, Hkv)
+            cdk = pltpu.make_async_copy(
+                dkv_slots.at[final_slot, 0, b, hkv], dkc, copy_sems.at[2])
+            cdv = pltpu.make_async_copy(
+                dkv_slots.at[final_slot, 1, b, hkv], dvc, copy_sems.at[3])
+            cdk.start()
+            cdv.start()
+            cdk.wait()
+            cdv.wait()
+            dkc[...] = dkc[...] * LN2   # q2 carried scale·log2e
+            wdk = pltpu.make_async_copy(
+                dkc, dk_hbm.at[b, hkv], copy_sems.at[2])
+            wdv = pltpu.make_async_copy(
+                dvc, dv_hbm.at[b, hkv], copy_sems.at[3])
+            wdk.start()
+            wdv.start()
+            wdk.wait()
+            wdv.wait()
+            return carry
+
+        jax.lax.fori_loop(0, B * Hkv, st, 0)
+
+
+def _ring_kernel_bwd_call(q2, k, v, do, lse2_rep, delta_rep, axis_name,
+                          n_dev, causal, scale, block_q, block_k,
+                          interpret_params=None, window=None):
+    """Launch the ring backward kernel on local chunks (inside shard_map).
+    Returns (dq f32, dk f32, dv f32) at local-chunk shapes."""
+    B, Hq, nq, D = q2.shape
+    Hkv, nk = k.shape[1], k.shape[2]
+    dtype = q2.dtype
+
+    kern = functools.partial(
+        _ring_bwd_kernel, axis_name=axis_name, n_dev=n_dev, causal=causal,
+        scale=scale, block_q=block_q, block_k=block_k, window=window,
+    )
+    if interpret_params is None:
+        interpret = (pltpu.InterpretParams()
+                     if platform.pallas_interpret_default() else False)
+    else:
+        interpret = interpret_params
+
+    dq, dk, dv, _, _ = pl.pallas_call(
+        kern,
+        grid=(n_dev + 1 if n_dev > 1 else 1,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, nq, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, nk, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, nk, D), jnp.float32),
+            jax.ShapeDtypeStruct((2, 2, B, Hkv, nk, D), dtype),      # kv
+            jax.ShapeDtypeStruct((2, 2, B, Hkv, nk, D), jnp.float32),  # dkv
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                        for _ in range(5)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), dtype),                # qt_buf
+            pltpu.VMEM((block_q, D), dtype),                # dot_buf
+            pltpu.VMEM((nk, D), dtype),                     # kc
+            pltpu.VMEM((nk, D), dtype),                     # vc
+            pltpu.VMEM((nk, D), jnp.float32),               # dkc
+            pltpu.VMEM((nk, D), jnp.float32),               # dvc
+            pltpu.VMEM((block_q, D), jnp.float32),          # dq_buf
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # lse_buf
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),  # dl_buf
+            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((2,)),   # send kv/dkv
+            pltpu.SemaphoreType.DMA((2,)),   # recv kv per slot
+            pltpu.SemaphoreType.DMA((2,)),   # recv dkv per slot
+            pltpu.SemaphoreType.REGULAR,     # capacity
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+            collective_id=2 if n_dev > 1 else None,
+        ),
+        interpret=interpret,
+    )(q2, k, v, do, lse2_rep, delta_rep)
+    return dq, dk, dv
+
+
 def _ring_kernel_fwd_call(q, k, v, axis_name, n_dev, causal, scale,
                           block_q, block_k, interpret_params=None,
                           window=None):
@@ -481,14 +898,43 @@ def _ring_kernel_fwd(q, k, v, axis_name, n_dev, causal, scale, window):
 
 
 def _ring_kernel_bwd(axis_name, n_dev, causal, scale, window, residuals, g):
-    # gradient path: the ppermute ring backward (numerically pinned there)
-    from flashattn_tpu.parallel import ring as _ring
-
     q, k, v, o, lse = residuals
-    outs = _ring._ring_core_bwd(
-        axis_name, n_dev, causal, scale, window,
-        (q, k, v, None, None, o, lse), g)
-    return outs[:3]
+    if os.environ.get("FLASHATTN_TPU_RING_BWD_KERNEL", "1") != "1":
+        # fallback: the ppermute ring backward (numerically pinned there)
+        from flashattn_tpu.parallel import ring as _ring
+
+        outs = _ring._ring_core_bwd(
+            axis_name, n_dev, causal, scale, window,
+            (q, k, v, None, None, o, lse), g)
+        return outs[:3]
+
+    B, Hq, nq, D = q.shape
+    dp = _pad_head_dim(D)
+    do = g.astype(q.dtype)
+    # Δ = rowsum(dO ⊙ O): one-shot preprocess, XLA-fused (the same split as
+    # the single-device fused backward; cf. triton _attn_bwd_preprocess).
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    q2 = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    if dp != D:
+        pad = [(0, 0)] * 3 + [(0, dp - D)]
+        q2 = jnp.pad(q2, pad)
+        kp = jnp.pad(k, pad)
+        vp = jnp.pad(v, pad)
+        dop = jnp.pad(do, pad)
+    else:
+        kp, vp, dop = k, v, do
+    lse2_rep = jnp.broadcast_to((lse * LOG2E)[..., None],
+                                (B, Hq, nq, NUM_LANES)).astype(jnp.float32)
+    delta_rep = jnp.broadcast_to(delta[..., None],
+                                 (B, Hq, nq, NUM_LANES)).astype(jnp.float32)
+    bq, bk = _block_sizes(nq, k.shape[2])
+    dq, dk, dv = _ring_kernel_bwd_call(
+        q2, kp, vp, dop, lse2_rep, delta_rep, axis_name, n_dev, causal,
+        scale, bq, bk, window=window)
+    dq = (dq[..., :D] * scale).astype(q.dtype)
+    dk = dk[..., :D].astype(k.dtype)
+    dv = dv[..., :D].astype(v.dtype)
+    return dq, dk, dv
 
 
 _ring_kernel_core.defvjp(_ring_kernel_fwd, _ring_kernel_bwd)

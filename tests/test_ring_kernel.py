@@ -81,7 +81,8 @@ def test_ring_kernel_gqa_bf16_8dev():
 
 
 def test_ring_kernel_grads():
-    # backward runs the ppermute ring (ring.py) via custom_vjp
+    # backward now ALSO runs in-kernel (r5): (dK, dV) f32 accumulators
+    # rotate with the KV chunks plus a final owner-return hop
     mesh = _mesh(2)
     q, k, v = make_qkv(jax.random.PRNGKey(3), 1, 2, 2 * 128, 128)
 
@@ -105,6 +106,73 @@ def test_ring_kernel_grads():
     want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for g, w in zip(grads, want):
         assert_close(g, w, BWD_TOL[jnp.float32.dtype])
+
+
+@pytest.mark.parametrize("causal,window,hkv",
+                         [(True, None, 2), (False, (160, 160), 2),
+                          (True, None, 1)])
+def test_ring_kernel_bwd_race_detected(causal, window, hkv):
+    """The r5 in-kernel ring BACKWARD under the Mosaic interpreter's
+    cross-device race detector at P=4: the (dK, dV) rotation + final
+    owner-return hop must be race-free, and grads must match the oracle
+    (GQA: dK/dV reduced over the folded q heads inside the kernel)."""
+    mesh = _mesh(4)
+    n_dev = 4
+    H = 2
+    q, k, v = make_qkv(jax.random.PRNGKey(5), 1, H, n_dev * 128, 64,
+                       Hkv=hkv)
+    scale = q.shape[-1] ** -0.5
+
+    from jax.sharding import PartitionSpec as P
+
+    from flashattn_tpu.ops.flash_fwd import LOG2E
+    from flashattn_tpu.parallel import ring_kernel as rk
+
+    # reference grads (global)
+    kr = jnp.repeat(k, H // hkv, axis=1)
+    vr = jnp.repeat(v, H // hkv, axis=1)
+
+    def loss_ref(q, kk, vv):
+        o = attention_reference(q, kk, vv, causal=causal, window=window)
+        return jnp.sum(o * o)
+
+    gq_ref, gk_ref, gv_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q, kr, vr)
+    if hkv != H:
+        B, _, N, D = k.shape
+        gk_ref = gk_ref.reshape(B, hkv, H // hkv, N, D).sum(axis=2)
+        gv_ref = gv_ref.reshape(B, hkv, H // hkv, N, D).sum(axis=2)
+
+    # forward residuals via the ring fwd, then the bwd kernel with the
+    # race detector on
+    ip = pltpu.InterpretParams(detect_races=True)
+
+    def local_bwd(q, k, v):
+        o, lse = rk._ring_kernel_fwd_call(
+            (q * (scale * LOG2E)).astype(q.dtype), k, v, "seq", n_dev,
+            causal, scale, 128, 128, interpret_params=ip, window=window)
+        o = o.astype(q.dtype)
+        do = 2.0 * o
+        delta = jnp.sum(do * o, axis=-1)
+        B, Hq, nq, D = q.shape
+        lse2 = jnp.broadcast_to((lse * LOG2E)[..., None],
+                                (B, Hq, nq, 128)).astype(jnp.float32)
+        drep = jnp.broadcast_to(delta[..., None],
+                                (B, Hq, nq, 128)).astype(jnp.float32)
+        q2 = (q * (scale * LOG2E)).astype(q.dtype)
+        dq, dk, dv = rk._ring_kernel_bwd_call(
+            q2, k, v, do, lse2, drep, "seq", n_dev, causal, scale,
+            128, 128, interpret_params=ip, window=window)
+        return dq * scale, dk, dv
+
+    qspec = P(None, None, "seq", None)
+    dq, dk, dv = jax.jit(jax.shard_map(
+        local_bwd, mesh=mesh, in_specs=(qspec, qspec, qspec),
+        out_specs=(qspec, qspec, qspec), check_vma=False))(q, k, v)
+    tol = BWD_TOL[jnp.float32.dtype]
+    assert_close(dq, gq_ref, tol)
+    assert_close(dk, gk_ref, tol)
+    assert_close(dv, gv_ref, tol)
 
 
 def test_ring_kernel_rejects_unaligned():
