@@ -186,6 +186,14 @@ def explain_plan(q_shape, k_shape, dtype=jnp.bfloat16, causal=False) -> dict:
     # Forward-route prediction (default call: no bias/quant, offsets 0).
     from flashattn_tpu.ops import flash_fwd as _ff
 
+    if _can_decompose_unaligned(
+            causal=causal, window=None, bias=None, seg=None, Nq=Nq, Nk=Nk,
+            bq=info.get("block_q", 128), bk=info.get("block_k", 128),
+            kv_valid_len=Nk, D=D):
+        info["fwd_route"] = "unaligned-decomposed"
+        info["main_region"] = [Nq // _UNALIGNED_UNIT * _UNALIGNED_UNIT,
+                               Nk // _UNALIGNED_UNIT * _UNALIGNED_UNIT]
+        return info
     nqp = info.get("nq_padded", _round_up(Nq, info.get("block_q", 128)))
     nkp = info.get("nk_padded", _round_up(Nk, info.get("block_k", 128)))
     # Mirror _flash_core_fwd_impl's chain-granular padding refinement.
