@@ -668,6 +668,108 @@ def _flash_core_fwd(q, k, v, bias, offsets, seg_q, seg_kv, scale, causal,
     return o, (q, k, v, bias, offsets, seg_q, seg_kv, o, lse)
 
 
+def _bwd_xla_quadrant(q_r, k_c, v_c, do_r, lse_r, delta_r, *, scale):
+    """Exact backward of one (row-range × col-range) quadrant in plain XLA
+    f32 (the small-tail analogue of the forward's einsum-softmax tails):
+    given the GLOBAL row statistics (lse, Δ), each quadrant's (dQ, dK, dV)
+    contributions are independent and simply sum across quadrants."""
+    qf = q_r.astype(jnp.float32)
+    kf = k_c.astype(jnp.float32)
+    vf = v_c.astype(jnp.float32)
+    dof = do_r.astype(jnp.float32)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf) * scale
+    p = jnp.exp(s - lse_r[..., None])
+    dp = jnp.einsum("bhnd,bhmd->bhnm", dof, vf)
+    ds = p * (dp - delta_r[..., None]) * scale
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, dof)
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, qf)
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, kf)
+    return dq, dk, dv
+
+
+def _bwd_unaligned_impl(q, ke, ve, do, lse, delta, *, scale, interpret):
+    """Quadrant-decomposed noncausal backward for unaligned N/Nk (the bwd
+    half of :func:`_fwd_unaligned_decomposed` — the padded flat launch
+    would otherwise execute up to 1.56× dead pair area across 5 matmuls).
+    ``ke``/``ve`` are GQA-expanded to Hq heads; the caller reduces.
+
+    rows/cols split at the largest 1024-multiples; the main quadrant runs
+    the aligned fused kernel, the three tail quadrants (≤ 4M positions
+    each, gated by the caller) run :func:`_bwd_xla_quadrant`; per-quadrant
+    gradients sum (dQ across column ranges, dK/dV across row ranges).
+    """
+    from flashattn_tpu.ops import flash_bwd_fused
+
+    B, Hq, Nq, D = q.shape
+    Nk = ke.shape[2]
+    qm = Nq // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+    km = Nk // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+    dp_ = _pad_head_dim(D)
+
+    bf = 2048 if D <= 128 else 1024
+    bq_f = min(bf, qm)
+    bk_f = min(bf, km)
+    while bq_f >= 2048 and _round_up(qm, bq_f // 2) < _round_up(qm, bq_f):
+        bq_f //= 2
+    while bk_f >= 2048 and _round_up(km, bk_f // 2) < _round_up(km, bk_f):
+        bk_f //= 2
+
+    q_m, q_t = q[:, :, :qm], q[:, :, qm:]
+    k_m, k_t = ke[:, :, :km], ke[:, :, km:]
+    v_m, v_t = ve[:, :, :km], ve[:, :, km:]
+    do_m, do_t = do[:, :, :qm], do[:, :, qm:]
+    lse_m, lse_t = lse[:, :, :qm], lse[:, :, qm:]
+    dl_m, dl_t = delta[:, :, :qm], delta[:, :, qm:]
+
+    lse_rep = jnp.broadcast_to(
+        _pad_axis(lse_m, 2, _round_up(qm, bq_f))[..., None],
+        (B, Hq, _round_up(qm, bq_f), NUM_LANES))
+    delta_rep = jnp.broadcast_to(
+        _pad_axis(dl_m, 2, _round_up(qm, bq_f))[..., None],
+        (B, Hq, _round_up(qm, bq_f), NUM_LANES))
+    dq_mm, dk_mm, dv_mm = flash_bwd_fused.bwd_fused_padded(
+        _pad_axis(q_m, 3, dp_), _pad_axis(k_m, 3, dp_),
+        _pad_axis(v_m, 3, dp_), _pad_axis(do_m, 3, dp_),
+        lse_rep, delta_rep,
+        scale=scale, causal=False, block_q=bq_f, block_k=bk_f,
+        kv_valid_len=km, interpret=interpret, window=None,
+        static_offsets=(0, 0))
+    dq_main = dq_mm[:, :, :qm, :D].astype(jnp.float32)
+    dk_main = dk_mm[:, :, :km, :D].astype(jnp.float32)
+    dv_main = dv_mm[:, :, :km, :D].astype(jnp.float32)
+
+    parts_dq_t = []
+    if Nk > km:  # main rows × tail cols
+        dq_p, dk_p, dv_p = _bwd_xla_quadrant(
+            q_m, k_t, v_t, do_m, lse_m, dl_m, scale=scale)
+        dq_main = dq_main + dq_p
+        dk_tail_mt, dv_tail_mt = dk_p, dv_p
+    else:
+        dk_tail_mt = dv_tail_mt = None
+    if Nq > qm:  # tail rows × main cols (+ tail cols)
+        dq_p, dk_p, dv_p = _bwd_xla_quadrant(
+            q_t, k_m, v_m, do_t, lse_t, dl_t, scale=scale)
+        dk_main = dk_main + dk_p
+        dv_main = dv_main + dv_p
+        parts_dq_t.append(dq_p)
+        if Nk > km:
+            dq_p, dk_p, dv_p = _bwd_xla_quadrant(
+                q_t, k_t, v_t, do_t, lse_t, dl_t, scale=scale)
+            parts_dq_t.append(dq_p)
+            dk_tail_mt = dk_tail_mt + dk_p
+            dv_tail_mt = dv_tail_mt + dv_p
+
+    dq = dq_main
+    if parts_dq_t:
+        dq = jnp.concatenate([dq_main, sum(parts_dq_t)], axis=2)
+    dk = dk_main
+    dv = dv_main
+    if dk_tail_mt is not None:
+        dk = jnp.concatenate([dk_main, dk_tail_mt], axis=2)
+        dv = jnp.concatenate([dv_main, dv_tail_mt], axis=2)
+    return dq.astype(q.dtype), dk.astype(ke.dtype), dv.astype(ve.dtype)
+
+
 def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
                     static_offsets, softcap, residuals, g):
     q, k, v, bias, offsets, seg_q, seg_kv, o, lse = residuals
@@ -683,6 +785,30 @@ def _flash_core_bwd(scale, causal, blocks, kv_valid_len, interpret, window,
     # Δ = rowsum(dO ⊙ O): one-shot preprocess (cf. triton _attn_bwd_preprocess,
     # reference triton_fused_attention.py:192-206), fused by XLA.
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    # Unaligned noncausal backward: quadrant decomposition (same gate as
+    # the forward + a tail-quadrant size cap — see _bwd_unaligned_impl).
+    if (bias is None and seg_q is None and softcap is None
+            and static_offsets is not None and kv_valid_len == Nk
+            and _can_decompose_unaligned(
+                causal=causal, window=window, bias=None, seg=None,
+                Nq=Nq, Nk=Nk, bq=blocks.block_q_dkv, bk=blocks.block_k_dkv,
+                kv_valid_len=Nk, D=D)):
+        qm_ = Nq // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+        km_ = Nk // _UNALIGNED_UNIT * _UNALIGNED_UNIT
+        if (qm_ * (Nk - km_) <= 4 * 1024 * 1024
+                and (Nq - qm_) * km_ <= 4 * 1024 * 1024
+                # the fused main quadrant's whole-sequence f32 dQ scratch
+                and qm_ * _pad_head_dim(D) * 4 <= 32 * 1024 * 1024):
+            dq, dk, dv = _bwd_unaligned_impl(
+                q, ke, ve, do, lse, delta, scale=scale, interpret=interpret)
+            if rep > 1:
+                dk = dk.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(
+                    k.dtype)
+                dv = dv.reshape(B, Hkv, rep, Nk, D).sum(axis=2).astype(
+                    v.dtype)
+            return (dq, dk, dv, None, _int_zero_cotangent(offsets),
+                    None, None)
 
     # Single-pass fused backward (5 matmuls instead of 7 — the reference's
     # one-kernel structure, kernel_fp16.cu:547-740, minus its dQ race):

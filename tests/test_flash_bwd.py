@@ -39,6 +39,29 @@ def test_bwd_matches_oracle(shape, causal):
 
 
 @pytest.mark.slow
+def test_bwd_unaligned_decomposed_route():
+    """r5 quadrant-decomposed backward for unaligned noncausal shapes
+    (flash._bwd_unaligned_impl): grads must match the oracle exactly
+    through the main-fused + XLA-tail-quadrant sum, incl. GQA reduction."""
+    from flashattn_tpu.ops import flash as _flash
+
+    B, H, Nq, D, Nk = 1, 4, 2049, 64, 2049
+    q, k, v = make_qkv(jax.random.PRNGKey(9), B, H, Nq, D, Nk=Nk, Hkv=2)
+    # the gate must fire for this shape
+    assert _flash._can_decompose_unaligned(
+        causal=False, window=None, bias=None, seg=None, Nq=Nq, Nk=Nk,
+        bq=1024, bk=1024, kv_valid_len=Nk, D=D)
+    got = _grads(lambda q, k, v: flash_attention(q, k, v), q, k, v)
+    kr, vr = jnp.repeat(k, 2, axis=1), jnp.repeat(v, 2, axis=1)
+    gq, gk, gv = _grads(lambda q, k, v: attention_reference(q, k, v),
+                        q, kr, vr)
+    gk = gk.reshape(B, 2, 2, Nk, D).sum(axis=2)
+    gv = gv.reshape(B, 2, 2, Nk, D).sum(axis=2)
+    for name, a, b in zip(("dq", "dk", "dv"), got, (gq, gk, gv)):
+        assert_close(a, b, BWD_TOL[jnp.float32.dtype], name)
+
+
+@pytest.mark.slow
 def test_bwd_bias_grad():
     q, k, v = make_qkv(jax.random.PRNGKey(1), 2, 2, 100, 32, Nk=90)
     for bshape in [(2, 2, 100, 90), (1, 2, 100, 90), (1, 1, 100, 90)]:
