@@ -1,19 +1,19 @@
 #!/bin/bash
-# r5 TPU batch 2: refresh the four headline sweeps with the TUNED vendor
-# arm (fair-baseline restatement, VERDICT r4 missing #1) + win32k matrix.
+# r5 TPU batch 2: refresh ONLY the vendor (jaxfa) rows of the four headline
+# sweeps with per-shape BlockSizes autotuning (fair-baseline restatement,
+# VERDICT r4 missing #1), then the win32k macro-bwd matrix, then spot-check
+# 4 "ours" anchor points for cross-session consistency.
 cd "$(dirname "$0")/.."
 set -x
-timeout 10800 python benchmarks/bench_attention.py --mode fwd \
-  > benchmarks/results/logs/r5_fwd_sweep.log 2>&1
-grep -h '^{' benchmarks/results/logs/r5_fwd_sweep.log | grep -v jaxfa_tune > benchmarks/results/attn_fwd_bf16.jsonl
-timeout 10800 python benchmarks/bench_attention.py --mode fwd --causal \
-  > benchmarks/results/logs/r5_fwd_causal_sweep.log 2>&1
-grep -h '^{' benchmarks/results/logs/r5_fwd_causal_sweep.log | grep -v jaxfa_tune > benchmarks/results/attn_fwd_causal_bf16.jsonl
-timeout 10800 python benchmarks/bench_attention.py --mode fwd_bwd \
-  > benchmarks/results/logs/r5_fwdbwd_sweep.log 2>&1
-grep -h '^{' benchmarks/results/logs/r5_fwdbwd_sweep.log | grep -v jaxfa_tune > benchmarks/results/attn_fwd_bwd_bf16.jsonl
-timeout 10800 python benchmarks/bench_attention.py --mode fwd_bwd --causal \
-  > benchmarks/results/logs/r5_fwdbwd_causal_sweep.log 2>&1
-grep -h '^{' benchmarks/results/logs/r5_fwdbwd_causal_sweep.log | grep -v jaxfa_tune > benchmarks/results/attn_fwd_bwd_causal_bf16.jsonl
-timeout 5400 python benchmarks/spot_tune.py win32k > benchmarks/results/logs/r5_win32k.log 2>&1
+L=benchmarks/results/logs
+timeout 7200 python benchmarks/bench_attention.py --mode fwd --impls jaxfa > $L/r5_jaxfa_fwd.log 2>&1
+python benchmarks/merge_jaxfa_rows.py $L/r5_jaxfa_fwd.log benchmarks/results/attn_fwd_bf16.jsonl
+timeout 7200 python benchmarks/bench_attention.py --mode fwd --causal --impls jaxfa > $L/r5_jaxfa_fwd_causal.log 2>&1
+python benchmarks/merge_jaxfa_rows.py $L/r5_jaxfa_fwd_causal.log benchmarks/results/attn_fwd_causal_bf16.jsonl
+timeout 7200 python benchmarks/bench_attention.py --mode fwd_bwd --impls jaxfa > $L/r5_jaxfa_fwdbwd.log 2>&1
+python benchmarks/merge_jaxfa_rows.py $L/r5_jaxfa_fwdbwd.log benchmarks/results/attn_fwd_bwd_bf16.jsonl
+timeout 7200 python benchmarks/bench_attention.py --mode fwd_bwd --causal --impls jaxfa > $L/r5_jaxfa_fwdbwd_causal.log 2>&1
+python benchmarks/merge_jaxfa_rows.py $L/r5_jaxfa_fwdbwd_causal.log benchmarks/results/attn_fwd_bwd_causal_bf16.jsonl
+timeout 5400 python benchmarks/spot_tune.py win32k > $L/r5_win32k.log 2>&1
+SPOT_SHAPES='[[4096,64],[4096,128]]' timeout 1800 python benchmarks/spot_unaligned.py > $L/r5_ours_anchor.log 2>&1
 echo BATCH2 DONE
