@@ -15,16 +15,17 @@ def main(log_path, jsonl_path):
             if r.get("impl") == "jaxfa":
                 new_jaxfa[(r.get("N"), r.get("D"), r.get("causal"),
                            r.get("mode"))] = r
-    out = []
+    out, used = [], set()
     with open(jsonl_path) as f:
         for line in f:
             r = json.loads(line)
             key = (r.get("N"), r.get("D"), r.get("causal"), r.get("mode"))
             if r.get("impl") == "jaxfa" and key in new_jaxfa:
-                r = new_jaxfa.pop(key)
+                r = new_jaxfa[key]   # replace EVERY old row for this shape
+                used.add(key)
             out.append(r)
     # append refreshed rows that had no previous counterpart
-    out.extend(new_jaxfa.values())
+    out.extend(v for k, v in new_jaxfa.items() if k not in used)
     with open(jsonl_path, "w") as f:
         for r in out:
             f.write(json.dumps(r) + "\n")
