@@ -304,7 +304,15 @@ def bench_one(impl_name, B, H, N, D, *, causal, mode, dtype=jnp.bfloat16,
     if window is not None:
         rec["window"] = list(window)
     if impl_name == "jaxfa":
-        ent = _jaxfa_tuned_cache().get(f"N{N}_D{D}_c{int(causal)}_{mode}")
+        # same fallback chain as jax_pallas_fa: a fwd_bwd row without its own
+        # tuned entry runs at the fwd-tuned block, not the vendor default
+        ent = None
+        for key in (f"N{N}_D{D}_c{int(causal)}_{mode}",
+                    f"N{N}_D{D}_c{int(causal)}_fwd",
+                    f"N{N}_D{D}_c{int(causal)}_fwd_bwd"):
+            ent = _jaxfa_tuned_cache().get(key)
+            if ent:
+                break
         rec["tuned_block"] = ent["block"] if ent else "default"
     print(json.dumps(rec), flush=True)
     if roofline is not None and tflops > roofline:
